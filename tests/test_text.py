@@ -1,0 +1,92 @@
+import numpy as np
+
+from wavernn_tpu.text import (sequence_to_text, symbol_to_id, symbols,
+                              text_to_sequence)
+from wavernn_tpu.text.cleaners import english_cleaners
+from wavernn_tpu.text.numbers_en import normalize_numbers, number_to_words
+
+
+def test_symbol_inventory():
+    assert len(symbols) == 148
+    assert symbols[0] == "_"
+    assert symbols[1] == "-"
+    assert symbols[2] == "!"
+    assert "@AA" in symbols and "@ZH" in symbols
+    assert len(set(symbols)) == 148
+
+
+def test_symbol_ids_match_reference(reference_modules):
+    import sys
+    sys.path.insert(0, "/root/reference")
+    from utils.text.symbols import symbols as ref_symbols
+    assert list(symbols) == list(ref_symbols)
+
+
+def test_english_cleaners_basic():
+    assert english_cleaners("Hello,   World!") == "hello, world!"
+    assert english_cleaners("Dr. Smith lives on St. James St.") \
+        == "doctor smith lives on saint james saint"
+
+
+def test_number_to_words():
+    assert number_to_words(0) == "zero"
+    assert number_to_words(7) == "seven"
+    assert number_to_words(21) == "twenty-one"
+    assert number_to_words(105) == "one hundred five"
+    assert number_to_words(1234567) == \
+        "one million, two hundred thirty-four thousand, five hundred sixty-seven"
+
+
+def test_normalize_numbers():
+    # 1000 < n < 3000 reads year-style (reference numbers.py:50-57)
+    assert normalize_numbers("1,234 apples") == "twelve thirty-four apples"
+    assert normalize_numbers("4,234 apples") == \
+        "four thousand, two hundred thirty-four apples"
+    # the digits from _expand_dollars are themselves number-expanded after
+    assert normalize_numbers("$2.50") == "two dollars, fifty cents"
+    assert normalize_numbers("$1") == "one dollar"
+    assert normalize_numbers("3.14") == "three point one four"
+    assert normalize_numbers("2nd") == "second"
+    assert normalize_numbers("21st") == "twenty-first"
+    assert normalize_numbers("in 1945") == "in nineteen forty-five"
+    assert normalize_numbers("in 2000") == "in two thousand"
+    assert normalize_numbers("in 2008") == "in two thousand eight"
+    assert normalize_numbers("in 1900") == "in nineteen hundred"
+    assert normalize_numbers("in 1906") == "in nineteen oh six"
+
+
+def test_text_to_sequence_roundtrip():
+    seq = text_to_sequence("hello world.", ["english_cleaners"])
+    assert sequence_to_text(seq) == "hello world."
+    assert all(0 < s < 148 for s in seq)
+
+
+def test_arpabet_braces():
+    seq = text_to_sequence("Turn {HH AW1 S} on.", ["english_cleaners"])
+    assert symbol_to_id["@HH"] in seq
+    assert symbol_to_id["@AW1"] in seq
+    text = sequence_to_text(seq)
+    assert "{HH AW1 S}" in text
+
+
+def test_parity_with_reference_frontend(reference_modules):
+    """Exact id-sequence parity with the reference keithito frontend.
+
+    The reference needs unidecode+inflect; skip cases they'd handle
+    differently only if those aren't importable.
+    """
+    import sys
+    sys.path.insert(0, "/root/reference")
+    try:
+        from utils.text import text_to_sequence as ref_tts
+    except ImportError:
+        import pytest
+        pytest.skip("reference text frontend deps missing")
+    cases = [
+        "hello world.",
+        "The quick brown fox: jumps; over?",
+        "Turn left on {HH AW1 S S T AH0 N} Street.",
+    ]
+    for c in cases:
+        assert text_to_sequence(c, ["english_cleaners"]) == \
+            ref_tts(c, ["english_cleaners"]), c
