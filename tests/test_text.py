@@ -45,7 +45,7 @@ def test_normalize_numbers():
     # the digits from _expand_dollars are themselves number-expanded after
     assert normalize_numbers("$2.50") == "two dollars, fifty cents"
     assert normalize_numbers("$1") == "one dollar"
-    assert normalize_numbers("3.14") == "three point one four"
+    assert normalize_numbers("3.14") == "three point fourteen"
     assert normalize_numbers("2nd") == "second"
     assert normalize_numbers("21st") == "twenty-first"
     assert normalize_numbers("in 1945") == "in nineteen forty-five"
