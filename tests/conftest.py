@@ -62,6 +62,9 @@ def reference_modules():
         m = types.ModuleType("inflect")
         m.engine = _Engine
         sys.modules["inflect"] = m
+    # numpy 2 removed aliases the reference (written for numpy 1.16) uses
+    if not hasattr(np, "cumproduct"):
+        np.cumproduct = np.cumprod
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
     import models.fatchord_version as ref_wavernn

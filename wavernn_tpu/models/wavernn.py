@@ -1,0 +1,168 @@
+"""WaveRNN vocoder (fatchord variant) — TPU-native functional implementation.
+
+Mirrors the reference architecture exactly (models/fatchord_version.py:92-167):
+  UpsampleNetwork (MelResNet over mel frames + nearest-neighbor stretch with
+  averaging convs) -> core stack I -> GRU1 -> GRU2 -> fc1 -> fc2 -> fc3,
+  with four 32-dim aux conditioning streams.
+
+Training forward runs the GRUs as lax.scans with the input-side GEMMs hoisted
+out of the recurrence (one big MXU matmul over (B*T, ·)).  Sample-by-sample
+generation lives in ops/sample_loop.py (lax.scan) and ops/pallas_gen.py
+(persistent-weights Pallas kernel).
+
+Parameters are a nested dict pytree; reference checkpoints import via
+compat/torch_import.py.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DSPConfig, WaveRNNConfig
+from ..ops import layers as L
+
+
+# --------------------------------------------------------------------------
+# init
+# --------------------------------------------------------------------------
+
+def init_melresnet(key, in_dims, compute_dims, res_out_dims, res_blocks, pad):
+    ks = jax.random.split(key, res_blocks + 2)
+    k_size = pad * 2 + 1
+    blocks = []
+    for i in range(res_blocks):
+        kb = jax.random.split(ks[i], 2)
+        blocks.append({
+            "conv1": L.conv1d_init(kb[0], compute_dims, compute_dims, 1, bias=False),
+            "bn1": L.batchnorm_init(compute_dims),
+            "conv2": L.conv1d_init(kb[1], compute_dims, compute_dims, 1, bias=False),
+            "bn2": L.batchnorm_init(compute_dims),
+        })
+    return {
+        "conv_in": L.conv1d_init(ks[-2], in_dims, compute_dims, k_size, bias=False),
+        "bn": L.batchnorm_init(compute_dims),
+        "blocks": blocks,
+        "conv_out": L.conv1d_init(ks[-1], compute_dims, res_out_dims, 1),
+    }
+
+
+def init_upsample(key, feat_dims, upsample_scales, compute_dims, res_blocks,
+                  res_out_dims, pad):
+    k_res, *k_up = jax.random.split(key, 1 + len(upsample_scales))
+    up_convs = []
+    for scale in upsample_scales:
+        # reference inits these averaging convs to 1/k (fatchord:78); they
+        # remain trainable
+        k_size = scale * 2 + 1
+        up_convs.append({"w": jnp.full((1, 1, 1, k_size), 1.0 / k_size)})
+    return {
+        "resnet": init_melresnet(k_res, feat_dims, compute_dims, res_out_dims,
+                                 res_blocks, pad),
+        "up_convs": up_convs,
+    }
+
+
+def init_wavernn(key, voc: WaveRNNConfig, dsp: DSPConfig):
+    n_classes = voc.n_classes(dsp.bits)
+    aux = voc.aux_dims
+    k = jax.random.split(key, 7)
+    return {
+        "upsample": init_upsample(k[0], dsp.num_mels, voc.upsample_factors,
+                                  voc.compute_dims, voc.res_blocks,
+                                  voc.res_out_dims, voc.pad),
+        "I": L.linear_init(k[1], dsp.num_mels + aux + 1, voc.rnn_dims),
+        "rnn1": L.gru_init(k[2], voc.rnn_dims, voc.rnn_dims),
+        "rnn2": L.gru_init(k[3], voc.rnn_dims + aux, voc.rnn_dims),
+        "fc1": L.linear_init(k[4], voc.rnn_dims + aux, voc.fc_dims),
+        "fc2": L.linear_init(k[5], voc.fc_dims + aux, voc.fc_dims),
+        "fc3": L.linear_init(k[6], voc.fc_dims, n_classes),
+    }
+
+
+def num_params(params) -> int:
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params)
+               if not isinstance(x, (int, float)))
+
+
+# --------------------------------------------------------------------------
+# apply
+# --------------------------------------------------------------------------
+
+def melresnet_apply(p, x, training: bool):
+    """x: (B, n_mels, T) -> (B, res_out, T - 2*pad); returns (y, new_p)."""
+    new_p = dict(p)
+    x = L.conv1d(p["conv_in"], x)
+    x, new_p["bn"] = L.batchnorm(p["bn"], x, training)
+    x = jax.nn.relu(x)
+    new_blocks = []
+    for blk in p["blocks"]:
+        nb = dict(blk)
+        r = x
+        x = L.conv1d(blk["conv1"], x)
+        x, nb["bn1"] = L.batchnorm(blk["bn1"], x, training)
+        x = jax.nn.relu(x)
+        x = L.conv1d(blk["conv2"], x)
+        x, nb["bn2"] = L.batchnorm(blk["bn2"], x, training)
+        x = x + r
+        new_blocks.append(nb)
+    new_p["blocks"] = new_blocks
+    x = L.conv1d(p["conv_out"], x)
+    return x, new_p
+
+
+def _stretch_time(x, scale: int):
+    """Nearest-neighbor upsample along the last (time) axis (Stretch2d)."""
+    return jnp.repeat(x, scale, axis=-1)
+
+
+def upsample_apply(p, mels, voc: WaveRNNConfig, training: bool = False):
+    """mels: (B, n_mels, T) (already pad-extended by voc.pad at call sites
+    that need it) -> (mels_up, aux) with time-major layout:
+      mels_up: (B, (T-2*pad)*hop, n_mels); aux: (B, (T-2*pad)*hop, res_out).
+    """
+    total_scale = 1
+    for s in voc.upsample_factors:
+        total_scale *= s
+    indent = voc.pad * total_scale
+
+    aux, new_resnet = melresnet_apply(p["resnet"], mels, training)
+    aux = _stretch_time(aux, total_scale)
+
+    m = mels[:, None]  # (B, 1, C, T) as NCHW with H=num_mels
+    for scale, conv in zip(voc.upsample_factors, p["up_convs"]):
+        m = jnp.repeat(m, scale, axis=-1)
+        m = L.conv2d(conv, m, padding=((0, 0), (scale, scale)))
+    m = m[:, 0, :, indent:-indent]
+
+    new_p = {"resnet": new_resnet, "up_convs": p["up_convs"]}
+    return jnp.swapaxes(m, 1, 2), jnp.swapaxes(aux, 1, 2), new_p
+
+
+def forward(params, x, mels, voc: WaveRNNConfig, training: bool = False):
+    """Teacher-forced forward (fatchord_version.py:131-167).
+
+    x: (B, T) previous samples (floats in [-1,1]);
+    mels: (B, n_mels, T_mel) conditioning window (includes 2*pad frames).
+    Returns (logits (B, T, n_classes), new_params).
+    """
+    a = voc.aux_dims
+    mels_up, aux, new_up = upsample_apply(params["upsample"], mels, voc, training)
+    a1, a2, a3, a4 = (aux[..., i * a:(i + 1) * a] for i in range(4))
+
+    h = jnp.concatenate([x[..., None], mels_up, a1], axis=-1)
+    h = L.linear(params["I"], h)
+    res = h
+    h, _ = L.gru(params["rnn1"], h)
+    h = h + res
+    res = h
+    h, _ = L.gru(params["rnn2"], jnp.concatenate([h, a2], axis=-1))
+    h = h + res
+    h = jax.nn.relu(L.linear(params["fc1"], jnp.concatenate([h, a3], axis=-1)))
+    h = jax.nn.relu(L.linear(params["fc2"], jnp.concatenate([h, a4], axis=-1)))
+    logits = L.linear(params["fc3"], h)
+
+    new_params = dict(params)
+    new_params["upsample"] = new_up
+    return logits, new_params
