@@ -166,3 +166,55 @@ def forward(params, x, mels, voc: WaveRNNConfig, training: bool = False):
     new_params = dict(params)
     new_params["upsample"] = new_up
     return logits, new_params
+
+
+def generate(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
+             batched: bool = True, target: Optional[int] = None,
+             overlap: Optional[int] = None, mu_law: bool = True,
+             use_pallas: bool = False, noise=None):
+    """End-to-end utterance generation (fatchord_version.py:169-264).
+
+    mels: (1, n_mels, T_frames) normalized mel in [0, 1].
+    Returns float64 waveform (wave_len,) with the reference's tail fade-out.
+    """
+    import numpy as np
+
+    from ..dsp.audio import decode_mu_law
+    from ..ops import fold as F
+    from ..ops.sample_loop import generate_scan
+
+    target = voc.target if target is None else target
+    overlap = voc.overlap if overlap is None else overlap
+    mu_law = mu_law if voc.mode == "RAW" else False
+
+    mels = jnp.asarray(mels)
+    wave_len = (mels.shape[-1] - 1) * dsp.hop_length
+    # pad ±voc.pad frames so the resnet sees context (fatchord:185)
+    mels = jnp.pad(mels, ((0, 0), (0, 0), (voc.pad, voc.pad)))
+    mels_up, aux, _ = upsample_apply(params["upsample"], mels, voc,
+                                     training=False)
+
+    if batched:
+        mels_up = F.fold_with_overlap(mels_up, target, overlap)
+        aux = F.fold_with_overlap(aux, target, overlap)
+
+    if use_pallas:
+        from ..ops.pallas_gen import generate_pallas
+        samples = generate_pallas(params, mels_up, aux, voc, dsp.bits, key)
+    else:
+        samples = generate_scan(params, mels_up, aux, voc, dsp.bits, key,
+                                noise=noise)
+    output = np.asarray(samples, dtype=np.float64)
+
+    if mu_law:
+        output = decode_mu_law(output, voc.n_classes(dsp.bits), False)
+
+    if batched:
+        output = F.xfade_and_unfold(output, target, overlap)
+    else:
+        output = output[0]
+
+    output = output[:wave_len]
+    fade_out = np.linspace(1, 0, 20 * dsp.hop_length)
+    output[-20 * dsp.hop_length:] *= fade_out[: len(output[-20 * dsp.hop_length:])]
+    return output

@@ -1,0 +1,111 @@
+"""Batched-folding long-utterance generation (reference
+fatchord_version.py:281-405).
+
+This is the repo's native sequence parallelism: one long utterance's
+upsampled conditioning is folded into overlapping segments that run
+data-parallel through the sample loop (each fold warms its RNN state up on
+``overlap`` samples of the previous fold's conditioning), then the folds are
+equal-power cross-faded back into one waveform.
+
+All fold math is static-shape and jit-friendly; folds become the batch axis
+that pjit shards across chips/hosts.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def num_folds_for(total_len: int, target: int, overlap: int) -> int:
+    num_folds = (total_len - overlap) // (target + overlap)
+    extended_len = num_folds * (overlap + target) + overlap
+    if total_len - extended_len != 0:
+        num_folds += 1
+    return num_folds
+
+
+def fold_with_overlap(x, target: int, overlap: int):
+    """(1, T, C) -> (num_folds, target + 2*overlap, C); zero-pad last fold
+    (fatchord_version.py:293-340)."""
+    _, total_len, features = x.shape
+    num_folds = (total_len - overlap) // (target + overlap)
+    extended_len = num_folds * (overlap + target) + overlap
+    remaining = total_len - extended_len
+    if remaining != 0:
+        num_folds += 1
+        padding = target + 2 * overlap - remaining
+        x = jnp.pad(x, ((0, 0), (0, padding), (0, 0)))
+
+    length = target + 2 * overlap
+    starts = np.arange(num_folds) * (target + overlap)
+    idx = starts[:, None] + np.arange(length)[None, :]
+    return x[0][idx]
+
+
+def xfade_and_unfold(y, target: int, overlap: int):
+    """(num_folds, target + 2*overlap) float64 -> (total_len,) overlap-added
+    with equal-power crossfade + silence warmup (fatchord_version.py:342-405).
+
+    numpy implementation (runs on host after the sample loop, matching the
+    reference's float64 semantics exactly).
+    """
+    y = np.asarray(y, dtype=np.float64)
+    num_folds, length = y.shape
+    target = length - 2 * overlap
+    total_len = num_folds * (target + overlap) + overlap
+
+    silence_len = overlap // 2
+    fade_len = overlap - silence_len
+    silence = np.zeros((silence_len,), dtype=np.float64)
+    linear = np.ones((silence_len,), dtype=np.float64)
+
+    t = np.linspace(-1, 1, fade_len, dtype=np.float64)
+    fade_in = np.sqrt(0.5 * (1 + t))
+    fade_out = np.sqrt(0.5 * (1 - t))
+
+    fade_in = np.concatenate([silence, fade_in])
+    fade_out = np.concatenate([linear, fade_out])
+
+    y = y.copy()
+    y[:, :overlap] *= fade_in
+    y[:, -overlap:] *= fade_out
+
+    unfolded = np.zeros((total_len,), dtype=np.float64)
+    for i in range(num_folds):
+        start = i * (target + overlap)
+        unfolded[start:start + length] += y[i]
+    return unfolded
+
+
+def xfade_and_unfold_jax(y, overlap: int):
+    """jit-friendly jnp version of xfade_and_unfold (same math, float32)."""
+    num_folds, length = y.shape
+    target = length - 2 * overlap
+    total_len = num_folds * (target + overlap) + overlap
+
+    silence_len = overlap // 2
+    fade_len = overlap - silence_len
+    t = jnp.linspace(-1, 1, fade_len)
+    fade_in = jnp.concatenate([jnp.zeros(silence_len), jnp.sqrt(0.5 * (1 + t))])
+    fade_out = jnp.concatenate([jnp.ones(silence_len), jnp.sqrt(0.5 * (1 - t))])
+
+    y = y.at[:, :overlap].multiply(fade_in)
+    y = y.at[:, -overlap:].multiply(fade_out)
+
+    starts = np.arange(num_folds) * (target + overlap)
+    idx = (starts[:, None] + np.arange(length)[None, :]).reshape(-1)
+    out = jnp.zeros((total_len,), y.dtype)
+    return out.at[idx].add(y.reshape(-1))
+
+
+def pad_tensor(x, pad: int, side: str = "both"):
+    """(B, T, C) zero pad along time (fatchord_version.py:281-291)."""
+    if side == "both":
+        cfg = ((0, 0), (pad, pad), (0, 0))
+    elif side == "before":
+        cfg = ((0, 0), (pad, 0), (0, 0))
+    elif side == "after":
+        cfg = ((0, 0), (0, pad), (0, 0))
+    else:
+        raise ValueError(side)
+    return jnp.pad(x, cfg)
