@@ -1,0 +1,122 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wavernn_tpu.config import Config, DSPConfig, WaveRNNConfig
+from wavernn_tpu.models import wavernn as wr
+from wavernn_tpu.train import wavernn_train as wt
+from wavernn_tpu.train.checkpoints import (restore_checkpoint,
+                                           save_checkpoint, save_tree,
+                                           load_tree)
+from wavernn_tpu.paths import Workspace
+
+DSP = DSPConfig()
+
+
+def _cfg(mode="MOL"):
+    return WaveRNNConfig(mode=mode, rnn_dims=32, fc_dims=32, compute_dims=16,
+                         res_out_dims=16, res_blocks=1, pad=2,
+                         upsample_factors=(5, 5, 11))
+
+
+def _batch(rng, voc, mode, B=4, frames=7):
+    T = (frames - 2 * voc.pad) * DSP.hop_length
+    x = rng.uniform(-1, 1, (B, T)).astype(np.float32)
+    mels = rng.uniform(0, 1, (B, DSP.num_mels, frames)).astype(np.float32)
+    if mode == "RAW":
+        # structured targets (uniform labels are at the entropy floor)
+        y = np.full((B, T), 2 ** (DSP.bits - 1), np.int32)
+        y += rng.randint(-3, 4, (B, T)).astype(np.int32)
+    else:
+        y = rng.uniform(-1, 1, (B, T)).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(y), jnp.asarray(mels)
+
+
+@pytest.mark.parametrize("mode", ["RAW", "MOL"])
+def test_loss_decreases(mode, rng):
+    voc = _cfg(mode)
+    state = wt.create_train_state(jax.random.PRNGKey(0), voc, DSP, lr=1e-3)
+    x, y, m = _batch(rng, voc, mode)
+    losses = []
+    for _ in range(30):
+        state, metrics = wt.train_step(state, x, y, m, voc, DSP, 1e-3, 4.0)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] - 0.3, losses[::10]
+    assert np.isfinite(losses).all()
+
+
+def test_bn_stats_update(rng):
+    voc = _cfg("MOL")
+    state = wt.create_train_state(jax.random.PRNGKey(0), voc, DSP, lr=1e-3)
+    before = np.asarray(state.params["upsample"]["resnet"]["bn"]["mean"])
+    x, y, m = _batch(rng, voc, "MOL")
+    state, _ = wt.train_step(state, x, y, m, voc, DSP, 1e-3, 4.0)
+    after = np.asarray(state.params["upsample"]["resnet"]["bn"]["mean"])
+    assert not np.allclose(before, after)
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    voc = _cfg("MOL")
+    ws = Workspace(tmp_path / "data", "vtest", "ttest",
+                   output_root=tmp_path)
+    state = wt.create_train_state(jax.random.PRNGKey(0), voc, DSP, lr=1e-3)
+    x, y, m = _batch(rng, voc, "MOL")
+    state, _ = wt.train_step(state, x, y, m, voc, DSP, 1e-3, 4.0)
+
+    save_checkpoint("voc", ws, state.params, state.opt_state,
+                    int(state.step), name="wave_step0K")
+    fresh = wt.create_train_state(jax.random.PRNGKey(1), voc, DSP, lr=1e-3)
+    params, opt_state, step = restore_checkpoint("voc", ws, fresh.params,
+                                                 fresh.opt_state)
+    assert step == 1
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(params),
+            jax.tree_util.tree_leaves_with_path(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_broken_pair(tmp_path):
+    voc = _cfg("MOL")
+    ws = Workspace(tmp_path / "data", "vb", "tb", output_root=tmp_path)
+    state = wt.create_train_state(jax.random.PRNGKey(0), voc, DSP, lr=1e-3)
+    save_checkpoint("voc", ws, state.params, state.opt_state, 0)
+    ws.voc_latest_optim.unlink()
+    with pytest.raises(FileNotFoundError, match="[Bb]roken"):
+        restore_checkpoint("voc", ws, state.params, state.opt_state)
+
+
+def test_warm_start_resets_step(tmp_path):
+    voc = _cfg("MOL")
+    ws = Workspace(tmp_path / "data", "vw", "tw", output_root=tmp_path)
+    donor = wt.create_train_state(jax.random.PRNGKey(7), voc, DSP, lr=1e-3)
+    init_path = tmp_path / "init_weights.npz"
+    save_tree(init_path, {"params": donor.params,
+                          "meta": {"step": np.asarray(123)}})
+    fresh = wt.create_train_state(jax.random.PRNGKey(0), voc, DSP, lr=1e-3)
+    params, _, step = restore_checkpoint(
+        "voc", ws, fresh.params, fresh.opt_state, create_if_missing=True,
+        init_weights_path=str(init_path))
+    assert step == 0  # warm start resets step (checkpoints.py:125-130)
+    np.testing.assert_array_equal(np.asarray(params["I"]["w"]),
+                                  np.asarray(donor.params["I"]["w"]))
+
+
+def test_sharded_train_step(rng):
+    """Data-parallel step over the 8-device CPU mesh."""
+    from wavernn_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    voc = _cfg("MOL")
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+    state = wt.create_train_state(jax.random.PRNGKey(0), voc, DSP, lr=1e-3)
+    state = wt.TrainState(replicate(mesh, state.params),
+                          replicate(mesh, state.opt_state),
+                          jax.device_put(state.step,
+                                         jax.NamedSharding(mesh, jax.P())))
+    x, y, m = _batch(rng, voc, "MOL", B=16)
+    x, y, m = shard_batch(mesh, (x, y, m))
+    state, metrics = wt.train_step(state, x, y, m, voc, DSP, 1e-3, 4.0)
+    assert np.isfinite(float(metrics["loss"]))
+    # params stay replicated after update
+    leaf = state.params["I"]["w"]
+    assert leaf.sharding.is_fully_replicated
