@@ -165,7 +165,7 @@ def import_tacotron(sd: Mapping[str, np.ndarray], tts: TacotronConfig):
             "res_rnn2": _cell(sd, "decoder.res_rnn2"),
             "mel_proj": _lin(sd, "decoder.mel_proj", bias=False),
         },
-        "postnet": _cbhg(sd, "postnet", 8, tts.num_highways,
+        "postnet": _cbhg(sd, "postnet", tts.postnet_K, tts.num_highways,
                          has_pre_highway=True),
         "post_proj": _lin(sd, "post_proj", bias=False),
     }

@@ -1,0 +1,415 @@
+"""Tacotron (text -> mel) — TPU-native functional implementation.
+
+Mirrors the reference architecture (models/tacotron.py:289-519):
+  Encoder: embedding -> PreNet -> CBHG(K=16, conv bank + maxpool + conv
+  projections + residual + highways + BiGRU).
+  Decoder (per r-frame group): PreNet -> attention GRUCell -> LSA
+  location-sensitive *smooth* attention (sigmoid-normalized scores,
+  tacotron.py:200) -> context -> rnn_input -> 2x zoneout LSTMCells with
+  residual -> mel_proj sliced to r frames.
+  Postnet: CBHG(K=8) -> post_proj ("linear" head — fed num_mels bins by
+  every reference caller, train_tacotron.py:59-60).
+
+The reference's Python decoder loop (tacotron.py:381-418) is a lax.scan
+with the (cumulative, attention) LSA state and LSTM/GRU states as carry;
+all four run modes (teacher_forcing / attention_forcing_online /
+attention_forcing_offline / free_running) are the same scan with different
+prenet-input and context selection.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TacotronConfig
+from ..ops import layers as L
+
+
+# --------------------------------------------------------------------------
+# init
+# --------------------------------------------------------------------------
+
+def _xavierize(key, p):
+    """Reference init_model (tacotron.py:482-484): xavier_uniform on every
+    param with dim > 1, biases keep their default init."""
+    leaves, treedef = jax.tree_util.tree_flatten(p)
+    keys = jax.random.split(key, len(leaves))
+    new = [L.xavier_uniform(k, leaf.shape, leaf.dtype) if leaf.ndim > 1 else leaf
+           for k, leaf in zip(keys, leaves)]
+    return jax.tree_util.tree_unflatten(treedef, new)
+
+
+def init_prenet(key, in_dims, fc1=256, fc2=128):
+    k1, k2 = jax.random.split(key)
+    return {"fc1": L.linear_init(k1, in_dims, fc1),
+            "fc2": L.linear_init(k2, fc1, fc2)}
+
+
+def init_cbhg(key, K, in_channels, channels, proj_channels, num_highways):
+    ks = jax.random.split(key, K + 4 + num_highways)
+    p = {
+        "bank": [
+            {"conv": L.conv1d_init(ks[i], in_channels, channels, i + 1,
+                                   bias=False),
+             "bn": L.batchnorm_init(channels)}
+            for i in range(K)
+        ],
+        "proj1": {"conv": L.conv1d_init(ks[K], K * channels, proj_channels[0],
+                                        3, bias=False),
+                  "bn": L.batchnorm_init(proj_channels[0])},
+        "proj2": {"conv": L.conv1d_init(ks[K + 1], proj_channels[0],
+                                        proj_channels[1], 3, bias=False),
+                  "bn": L.batchnorm_init(proj_channels[1])},
+        "highways": [],
+        "rnn_fwd": L.gru_init(ks[K + 2], channels, channels),
+        "rnn_bwd": L.gru_init(ks[K + 3], channels, channels),
+    }
+    if proj_channels[-1] != channels:
+        p["pre_highway"] = L.linear_init(ks[K + 3], proj_channels[-1],
+                                         channels, bias=False)
+    for i in range(num_highways):
+        kh = jax.random.split(ks[K + 4 + i], 2)
+        hw = {"W1": L.linear_init(kh[0], channels, channels),
+              "W2": L.linear_init(kh[1], channels, channels)}
+        hw["W1"]["b"] = jnp.zeros_like(hw["W1"]["b"])  # tacotron.py:15
+        p["highways"].append(hw)
+    return p
+
+
+def init_tacotron(key, tts: TacotronConfig, n_mels: int, num_chars: int = 148):
+    k = jax.random.split(key, 12)
+    d = tts.decoder_dims
+    params = {
+        "encoder": {
+            "embedding": L.embedding_init(k[0], num_chars, tts.embed_dims),
+            "prenet": init_prenet(k[1], tts.embed_dims),
+            "cbhg": init_cbhg(k[2], tts.encoder_K, tts.encoder_dims,
+                              tts.encoder_dims,
+                              [tts.encoder_dims, tts.encoder_dims],
+                              tts.num_highways),
+        },
+        "encoder_proj": L.linear_init(k[3], d, d, bias=False),
+        "decoder": {
+            "prenet": init_prenet(k[4], n_mels),
+            "attn": {
+                "conv": L.conv1d_init(k[5], 2, 32, 31, bias=False),
+                "L": L.linear_init(k[6], 32, d),
+                "W": L.linear_init(k[7], d, d),
+                "v": L.linear_init(k[8], d, 1, bias=False),
+            },
+            "attn_rnn": L.gru_init(k[9], d + d // 2, d),
+            "rnn_input": L.linear_init(k[10], 2 * d, tts.lstm_dims),
+            "res_rnn1": L.lstm_init(k[11], tts.lstm_dims, tts.lstm_dims),
+            "res_rnn2": L.lstm_init(jax.random.fold_in(key, 101),
+                                    tts.lstm_dims, tts.lstm_dims),
+            "mel_proj": L.linear_init(jax.random.fold_in(key, 102),
+                                      tts.lstm_dims, n_mels * tts.max_r,
+                                      bias=False),
+        },
+        "postnet": init_cbhg(jax.random.fold_in(key, 103), tts.postnet_K,
+                             n_mels, tts.postnet_dims, [256, n_mels],
+                             tts.num_highways),
+        "post_proj": L.linear_init(jax.random.fold_in(key, 104),
+                                   tts.postnet_dims * 2, n_mels, bias=False),
+    }
+    return _xavierize(jax.random.fold_in(key, 105), params)
+
+
+# --------------------------------------------------------------------------
+# submodule applies
+# --------------------------------------------------------------------------
+
+def prenet_apply(p, x, key, training: bool, dropout: float = 0.5):
+    k1, k2 = jax.random.split(key)
+    x = jax.nn.relu(L.linear(p["fc1"], x))
+    x = L.dropout(k1, x, dropout, training)
+    x = jax.nn.relu(L.linear(p["fc2"], x))
+    x = L.dropout(k2, x, dropout, training)
+    return x
+
+
+def highway_apply(p, x):
+    x1 = L.linear(p["W1"], x)
+    g = jax.nn.sigmoid(L.linear(p["W2"], x))
+    return g * jax.nn.relu(x1) + (1.0 - g) * x
+
+
+def _maxpool_k2_s1(x):
+    """torch MaxPool1d(kernel=2, stride=1, padding=1) then [:T]
+    (tacotron.py:68,111). x: (B, C, T)."""
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 0)), constant_values=-jnp.inf)
+    return jnp.maximum(xp[:, :, :-1], xp[:, :, 1:])  # length T, == out[:T]
+
+
+def cbhg_apply(p, x, training: bool):
+    """x: (B, C_in, T) -> (B, T, 2*channels); returns (y, new_params)."""
+    new_p = {k: v for k, v in p.items()}
+    residual = x
+    T = x.shape[-1]
+
+    bank_out, new_bank = [], []
+    for blk in p["bank"]:
+        k = blk["conv"]["w"].shape[-1]
+        c = L.conv1d(blk["conv"], x, padding=k // 2)
+        c = jax.nn.relu(c)
+        # truncate AFTER relu+bn so training-mode batch stats match the
+        # reference (tacotron.py:103-105 truncates the BatchNormConv output)
+        c, nbn = L.batchnorm(blk["bn"], c, training)
+        bank_out.append(c[:, :, :T])
+        new_bank.append({"conv": blk["conv"], "bn": nbn})
+    new_p["bank"] = new_bank
+    h = jnp.concatenate(bank_out, axis=1)
+
+    h = _maxpool_k2_s1(h)
+
+    c = L.conv1d(p["proj1"]["conv"], h, padding=1)
+    c = jax.nn.relu(c)
+    c, nbn1 = L.batchnorm(p["proj1"]["bn"], c, training)
+    new_p["proj1"] = {"conv": p["proj1"]["conv"], "bn": nbn1}
+    c = L.conv1d(p["proj2"]["conv"], c, padding=1)
+    c, nbn2 = L.batchnorm(p["proj2"]["bn"], c, training)
+    new_p["proj2"] = {"conv": p["proj2"]["conv"], "bn": nbn2}
+
+    h = c + residual
+    h = jnp.swapaxes(h, 1, 2)  # (B, T, C)
+    if "pre_highway" in p:
+        h = L.linear(p["pre_highway"], h)
+    for hw in p["highways"]:
+        h = highway_apply(hw, h)
+    y = L.bigru(p["rnn_fwd"], p["rnn_bwd"], h)
+    return y, new_p
+
+
+def encoder_apply(p, x_ids, key, training: bool, dropout: float):
+    """x_ids: (B, T_text) -> (B, T_text, 2*encoder_dims)."""
+    x = L.embedding(p["embedding"], x_ids)
+    x = prenet_apply(p["prenet"], x, key, training, dropout)
+    y, new_cbhg = cbhg_apply(p["cbhg"], jnp.swapaxes(x, 1, 2), training)
+    return y, {"embedding": p["embedding"], "prenet": p["prenet"],
+               "cbhg": new_cbhg}
+
+
+def lsa_scores(p, encoder_seq_proj, query, cumulative, attention):
+    """Location-sensitive smooth attention (tacotron.py:187-205).
+
+    Returns scores (B, T_text)."""
+    q = L.linear(p["W"], query)[:, None, :]                    # (B,1,d)
+    loc = jnp.stack([cumulative, attention], axis=1)           # (B,2,T)
+    loc = L.conv1d(p["conv"], loc, padding=15)                 # (B,32,T)
+    loc = L.linear(p["L"], jnp.swapaxes(loc, 1, 2))            # (B,T,d)
+    u = L.linear(p["v"], jnp.tanh(q + encoder_seq_proj + loc))[..., 0]
+    sig = jax.nn.sigmoid(u)
+    return sig / jnp.sum(sig, axis=1, keepdims=True)
+
+
+class DecoderState(NamedTuple):
+    attn_hidden: jnp.ndarray
+    rnn1_h: jnp.ndarray
+    rnn1_c: jnp.ndarray
+    rnn2_h: jnp.ndarray
+    rnn2_c: jnp.ndarray
+    context: jnp.ndarray
+    cumulative: jnp.ndarray
+    attention: jnp.ndarray
+    prev_frame: jnp.ndarray  # last mel frame of previous output group
+
+
+def init_decoder_state(batch: int, T_text: int, tts: TacotronConfig,
+                       n_mels: int, dtype=jnp.float32) -> DecoderState:
+    d, l = tts.decoder_dims, tts.lstm_dims
+    z = lambda *s: jnp.zeros(s, dtype)
+    return DecoderState(z(batch, d), z(batch, l), z(batch, l), z(batch, l),
+                        z(batch, l), z(batch, d), z(batch, T_text),
+                        z(batch, T_text), z(batch, n_mels))
+
+
+def decoder_step(p, encoder_seq, encoder_seq_proj, prenet_in,
+                 state: DecoderState, tts: TacotronConfig, r: int,
+                 n_mels: int, key, training: bool,
+                 attn_ref: Optional[jnp.ndarray] = None):
+    """One decoder group step (tacotron.py:229-286).
+
+    Returns (mels (B, n_mels, r), scores (B, T_text), new_state)."""
+    k_pre, k_z1, k_z2 = jax.random.split(key, 3)
+    prenet_out = prenet_apply(p["prenet"], prenet_in, k_pre, training,
+                              tts.dropout)
+    attn_rnn_in = jnp.concatenate([state.context, prenet_out], axis=-1)
+    attn_hidden = L.gru_cell(p["attn_rnn"], attn_rnn_in, state.attn_hidden)
+
+    scores = lsa_scores(p["attn"], encoder_seq_proj, attn_hidden,
+                        state.cumulative, state.attention)
+    attention = scores
+    cumulative = state.cumulative + attention
+
+    ctx_weights = scores if attn_ref is None else attn_ref
+    context = jnp.einsum("bt,btc->bc", ctx_weights, encoder_seq)
+
+    x = jnp.concatenate([context, attn_hidden], axis=1)
+    x = L.linear(p["rnn_input"], x)
+
+    def zoneout(k, prev, cur, rate=0.1):
+        if not training:
+            return cur
+        mask = jax.random.bernoulli(k, rate, prev.shape)
+        return jnp.where(mask, prev, cur)
+
+    h1_next, c1 = L.lstm_cell(p["res_rnn1"], x, (state.rnn1_h, state.rnn1_c))
+    h1 = zoneout(k_z1, state.rnn1_h, h1_next)
+    x = x + h1
+    h2_next, c2 = L.lstm_cell(p["res_rnn2"], x, (state.rnn2_h, state.rnn2_c))
+    h2 = zoneout(k_z2, state.rnn2_h, h2_next)
+    x = x + h2
+
+    mels = L.linear(p["mel_proj"], x)
+    mels = mels.reshape(x.shape[0], n_mels, tts.max_r)[:, :, :r]
+
+    new_state = DecoderState(attn_hidden, h1, c1, h2, c2, context,
+                             cumulative, attention, mels[:, :, -1])
+    return mels, scores, new_state
+
+
+# --------------------------------------------------------------------------
+# full forward (all modes) + generate
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("tts", "r", "mode", "training",
+                                   "generate_gta"))
+def forward(params, x_ids, m, tts: TacotronConfig, r: int, key,
+            mode: str = "teacher_forcing", training: bool = True,
+            attn_ref: Optional[jnp.ndarray] = None,
+            generate_gta: bool = False):
+    """Full forward (tacotron.py:319-379).
+
+    x_ids: (B, T_text); m: (B, n_mels, steps) target mels (steps % r == 0).
+    attn_ref: (B, steps//r, T_text) for attention-forcing modes.
+    Returns (mel_out (B,n_mels,steps), linear (B,steps,n_mels... transposed
+    to (B, fft_bins==n_mels, steps)), attn (B, steps//r, T_text),
+    new_params).
+    """
+    if generate_gta:
+        training = False
+    B, n_mels, steps = m.shape
+    n_groups = steps // r
+
+    k_enc, k_dec = jax.random.split(key)
+    encoder_seq, new_enc = encoder_apply(params["encoder"], x_ids, k_enc,
+                                         training, tts.dropout)
+    encoder_seq_proj = L.linear(params["encoder_proj"], encoder_seq)
+
+    T_text = x_ids.shape[1]
+    state0 = init_decoder_state(B, T_text, tts, n_mels, m.dtype)
+
+    step_keys = jax.random.split(k_dec, n_groups)
+    dec = params["decoder"]
+
+    if mode == "teacher_forcing":
+        # prenet_in for group g>0 is ground-truth frame m[:, :, g*r - 1]
+        tf_in = jnp.concatenate(
+            [jnp.zeros((B, n_mels, 1), m.dtype), m[:, :, r - 1::r][:, :, :-1]],
+            axis=2)  # (B, n_mels, n_groups); group 0 gets the GO frame
+
+        def step(state, inp):
+            k, gt_in = inp
+            mels, scores, state = decoder_step(
+                dec, encoder_seq, encoder_seq_proj, gt_in, state, tts, r,
+                n_mels, k, training)
+            return state, (mels, scores)
+
+        xs = (step_keys, jnp.moveaxis(tf_in, 2, 0))
+        _, (mel_groups, attn_scores) = jax.lax.scan(step, state0, xs)
+    elif mode in ("attention_forcing_online", "attention_forcing_offline"):
+        assert attn_ref is not None, \
+            "attention_forcing mode requires attn_ref (tacotron.py:395)"
+
+        def step(state, inp):
+            k, a_ref = inp
+            mels, scores, state = decoder_step(
+                dec, encoder_seq, encoder_seq_proj, state.prev_frame, state,
+                tts, r, n_mels, k, training, attn_ref=a_ref)
+            return state, (mels, scores)
+
+        xs = (step_keys, jnp.moveaxis(attn_ref, 1, 0))
+        _, (mel_groups, attn_scores) = jax.lax.scan(step, state0, xs)
+    elif mode == "free_running":
+        def step(state, k):
+            mels, scores, state = decoder_step(
+                dec, encoder_seq, encoder_seq_proj, state.prev_frame, state,
+                tts, r, n_mels, k, training)
+            return state, (mels, scores)
+
+        _, (mel_groups, attn_scores) = jax.lax.scan(step, state0, step_keys)
+    else:
+        raise ValueError(mode)
+
+    # (n_groups, B, n_mels, r) -> (B, n_mels, steps)
+    mel_out = jnp.moveaxis(mel_groups, 0, 2).reshape(B, n_mels, steps)
+    attn = jnp.swapaxes(attn_scores, 0, 1)  # (B, n_groups, T_text)
+
+    postnet_out, new_postnet = cbhg_apply(params["postnet"], mel_out, training)
+    linear = L.linear(params["post_proj"], postnet_out)
+    linear = jnp.swapaxes(linear, 1, 2)
+
+    new_params = dict(params)
+    new_params["encoder"] = new_enc
+    new_params["postnet"] = new_postnet
+    return mel_out, linear, attn, new_params
+
+
+@partial(jax.jit, static_argnames=("tts", "r", "steps", "n_mels"))
+def _generate_scan(params, x_ids, tts: TacotronConfig, r: int, steps: int,
+                   n_mels: int, key):
+    B = x_ids.shape[0]
+    n_groups = steps // r
+    k_enc, k_dec = jax.random.split(key)
+    encoder_seq, _ = encoder_apply(params["encoder"], x_ids, k_enc, False,
+                                   tts.dropout)
+    encoder_seq_proj = L.linear(params["encoder_proj"], encoder_seq)
+    state0 = init_decoder_state(B, x_ids.shape[1], tts, n_mels)
+    dec = params["decoder"]
+    step_keys = jax.random.split(k_dec, n_groups)
+
+    def step(carry, k):
+        state, stopped, t = carry
+        mels, scores, new_state = decoder_step(
+            dec, encoder_seq, encoder_seq_proj, state.prev_frame, state, tts,
+            r, n_mels, k, False)
+        # stop when every value of the group is silent (tacotron.py:461)
+        hit = jnp.logical_and(jnp.all(mels < tts.stop_threshold), t > 10)
+        stopped_now = jnp.logical_or(stopped, hit)
+        # freeze the state once stopped so trailing groups repeat silence
+        state = jax.tree_util.tree_map(
+            lambda old, new: jnp.where(stopped, old, new), state, new_state)
+        return (state, stopped_now, t + r), (mels, scores, stopped)
+
+    (_, _, _), (mel_groups, attn_scores, stopped_before) = jax.lax.scan(
+        step, (state0, jnp.asarray(False), jnp.asarray(0)), step_keys)
+
+    mel_out = jnp.moveaxis(mel_groups, 0, 2).reshape(B, n_mels, steps)
+    attn = jnp.swapaxes(attn_scores, 0, 1)
+    n_valid_groups = jnp.sum(~stopped_before)
+
+    postnet_out, _ = cbhg_apply(params["postnet"], mel_out, False)
+    linear = L.linear(params["post_proj"], postnet_out)
+    linear = jnp.swapaxes(linear, 1, 2)
+    return mel_out, linear, attn, n_valid_groups
+
+
+def generate(params, x_ids, tts: TacotronConfig, r: int, n_mels: int = 80,
+             steps: int = 2000, key=None):
+    """Free-running inference (tacotron.py:420-480): batch=1 text ids ->
+    (mel (n_mels, T), linear (n_mels, T), attn (T//r, T_text)) numpy, trimmed
+    at the stop-threshold group."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    x = jnp.asarray(x_ids)[None, :]
+    steps = -(-steps // r) * r
+    mel, linear, attn, n_valid = _generate_scan(params, x, tts, r, steps,
+                                                n_mels, key)
+    n = int(n_valid)  # groups up to and including the stop trigger
+    T = min(n * r, steps)
+    return (np.asarray(mel[0, :, :T]), np.asarray(linear[0, :, :T]),
+            np.asarray(attn[0, : T // r]))
