@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Flagship benchmark: batched WaveRNN-MOL generation on one TPU chip.
+
+End-to-end utterance generation (upsample -> fold -> persistent-weights
+Pallas sample loop -> host equal-power xfade/unfold), full-size 4.2M-param
+MOL model, reference batched-generation config (target=11000, overlap=550,
+hparams.py:58-60).
+
+Prints ONE JSON line:
+  metric      : generation rate in kHz (samples/s / 1000) per chip
+  vs_baseline : ratio vs the 110.25 kHz target (5x realtime @ 22.05 kHz,
+                BASELINE.md north star; the reference itself only claims
+                "realtime+" on unspecified GPU hardware)
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from wavernn_tpu.config import DSPConfig, WaveRNNConfig
+    from wavernn_tpu.models import wavernn as wr
+
+    dsp = DSPConfig()
+    voc = WaveRNNConfig(mode="MOL")
+    params = wr.init_wavernn(jax.random.PRNGKey(1), voc, dsp)
+
+    frames = 1345  # ~16.8 s of audio -> 32 folds at target=11000/overlap=550
+    rng = np.random.RandomState(0)
+    mels = rng.uniform(0.2, 0.8, (1, dsp.num_mels, frames)).astype(np.float32)
+    wave_len = (frames - 1) * dsp.hop_length
+
+    def run(key):
+        wav = wr.generate_fast(params, mels, voc, dsp, key)
+        # full host readback — block_until_ready alone does not reliably
+        # fence through remote-execution tunnels
+        return np.asarray(wav)
+
+    # warmup / compile
+    t0 = time.time()
+    wav = run(jax.random.PRNGKey(0))
+    print(f"warmup (incl. compile): {time.time() - t0:.1f}s", file=sys.stderr)
+    assert wav.shape == (wave_len,)
+
+    times = []
+    for i in range(4):
+        t0 = time.perf_counter()
+        run(jax.random.PRNGKey(i + 1))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+
+    audio_seconds = wave_len / dsp.sample_rate
+    gen_rate_khz = wave_len / dt / 1000.0
+    rtf = audio_seconds / dt
+    print(f"median {dt*1e3:.0f} ms for {audio_seconds:.1f}s audio "
+          f"({rtf:.0f}x realtime)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "wavernn_mol_batched_gen_rate_per_chip",
+        "value": round(gen_rate_khz, 1),
+        "unit": "kHz",
+        "vs_baseline": round(gen_rate_khz / 110.25, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,170 @@
+"""Tacotron training: progressive schedule + the fork's three loss modes
+(reference train_tacotron.py:98-430).
+
+  * teacher forcing (TF):    loss = L1(m1, m) + L1(m2, m)
+  * attention forcing online (AF-online): a frozen TF teacher produces
+    attn_ref per batch; student runs attention-forcing; extra loss =
+    attn_loss_coeff * KL(log(student_attn) || teacher_attn) summed over the
+    encoder axis, meaned elsewhere (train_tacotron.py:286-294)
+  * attention forcing offline (AF-offline): attn_ref loaded from disk;
+    extra loss = L1 of the attention maps (train_tacotron.py:387)
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config, TacotronConfig
+from ..models import tacotron as taco
+from .wavernn_train import make_optimizer
+
+
+class TTSTrainState(NamedTuple):
+    params: dict
+    opt_state: tuple
+    step: jnp.ndarray
+
+
+def create_train_state(key, tts: TacotronConfig, n_mels: int, lr: float,
+                       clip_grad_norm: Optional[float] = 1.0,
+                       num_chars: int = 148) -> TTSTrainState:
+    params = taco.init_tacotron(key, tts, n_mels, num_chars)
+    tx = make_optimizer(lr, clip_grad_norm)
+    return TTSTrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+
+def session_for_step(schedule, step: int) -> Tuple[int, float, int, int]:
+    """Pick the (r, lr, max_step, batch_size) session for the current step
+    (train_tacotron.py:98-118)."""
+    for r, lr, max_step, bs in schedule:
+        if step < max_step:
+            return r, lr, max_step, bs
+    return schedule[-1]
+
+
+def attention_kl(student_attn, teacher_attn, eps: float = 1e-10):
+    """KL(teacher || student) over the encoder axis, matching the
+    reference's F.kl_div(log(student), teacher, reduction sum-over-enc /
+    mean-over-rest) (train_tacotron.py:286-294)."""
+    t = teacher_attn
+    s = jnp.log(jnp.maximum(student_attn, eps))
+    kl = t * (jnp.log(jnp.maximum(t, eps)) - s)      # pointwise KL terms
+    return jnp.mean(jnp.sum(kl, axis=-1))
+
+
+def loss_tf(params, x_ids, m, tts, r, key):
+    mel, linear, attn, new_params = taco.forward(
+        params, x_ids, m, tts, r, key, mode="teacher_forcing", training=True)
+    loss = jnp.mean(jnp.abs(mel - m)) + jnp.mean(jnp.abs(linear - m))
+    return loss, (new_params, attn)
+
+
+def loss_af(params, x_ids, m, attn_ref, tts, r, key, attn_loss_coeff,
+            offline: bool):
+    mode = ("attention_forcing_offline" if offline
+            else "attention_forcing_online")
+    mel, linear, attn, new_params = taco.forward(
+        params, x_ids, m, tts, r, key, mode=mode, training=True,
+        attn_ref=attn_ref)
+    loss_out = jnp.mean(jnp.abs(mel - m)) + jnp.mean(jnp.abs(linear - m))
+    if offline:
+        loss_attn = jnp.mean(jnp.abs(attn - attn_ref))
+    else:
+        loss_attn = attention_kl(attn, attn_ref)
+    return loss_out + attn_loss_coeff * loss_attn, (new_params, attn,
+                                                    loss_out, loss_attn)
+
+
+@partial(jax.jit, static_argnames=("tts", "r", "lr", "clip_grad_norm"))
+def train_step_tf(state: TTSTrainState, x_ids, m, tts: TacotronConfig,
+                  r: int, lr: float, key,
+                  clip_grad_norm: Optional[float] = 1.0):
+    (loss, (new_params, attn)), grads = jax.value_and_grad(
+        loss_tf, has_aux=True)(state.params, x_ids, m, tts, r, key)
+    tx = make_optimizer(lr, clip_grad_norm)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    params = _merge_bn(params, new_params)
+    return (TTSTrainState(params, opt_state, state.step + 1),
+            {"loss": loss, "attn": attn})
+
+
+@partial(jax.jit, static_argnames=("tts", "r", "lr", "clip_grad_norm",
+                                   "offline", "attn_loss_coeff"))
+def train_step_af(state: TTSTrainState, x_ids, m, attn_ref,
+                  tts: TacotronConfig, r: int, lr: float, key,
+                  attn_loss_coeff: float = 1.0,
+                  clip_grad_norm: Optional[float] = 1.0,
+                  offline: bool = False):
+    (loss, (new_params, attn, l_out, l_attn)), grads = jax.value_and_grad(
+        loss_af, has_aux=True)(state.params, x_ids, m, attn_ref, tts, r, key,
+                               attn_loss_coeff, offline)
+    tx = make_optimizer(lr, clip_grad_norm)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    params = _merge_bn(params, new_params)
+    return (TTSTrainState(params, opt_state, state.step + 1),
+            {"loss": loss, "loss_out": l_out, "loss_attn": l_attn,
+             "attn": attn})
+
+
+@partial(jax.jit, static_argnames=("tts", "r"))
+def teacher_attn_ref(teacher_params, x_ids, m, tts: TacotronConfig, r: int,
+                     key):
+    """AF-online: frozen TF teacher produces attn_ref for a batch, no grads
+    (train_tacotron.py:268-278)."""
+    _, _, attn, _ = taco.forward(teacher_params, x_ids, m, tts, r, key,
+                                 mode="teacher_forcing", training=False)
+    return jax.lax.stop_gradient(attn)
+
+
+def _merge_bn(params, bn_source):
+    def merge(path, p_leaf, s_leaf):
+        keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
+        if "mean" in keys or "var" in keys:
+            return s_leaf
+        return p_leaf
+    return jax.tree_util.tree_map_with_path(merge, params, bn_source)
+
+
+# --------------------------------------------------------------------------
+# GTA / attention-ref export (train_tacotron.py:433-485)
+# --------------------------------------------------------------------------
+
+def create_gta_features(params, dataset, tts: TacotronConfig, r: int,
+                        save_dir, log=print):
+    """Teacher-forced eval forward over the train set; save postnet output
+    rescaled (mel+4)/8, truncated to the true mel length."""
+    import numpy as np
+    save_dir.mkdir(parents=True, exist_ok=True)
+    for i, (x_ids, m, ids, mel_lens) in enumerate(dataset):
+        _, gta, _, _ = taco.forward(
+            jax.tree_util.tree_map(jnp.asarray, params), jnp.asarray(x_ids),
+            jnp.asarray(m), tts, r, jax.random.PRNGKey(0),
+            mode="teacher_forcing", training=False, generate_gta=True)
+        gta = np.asarray(gta)
+        gta = (gta + 4.0) / 8.0
+        for j, item_id in enumerate(ids):
+            np.save(save_dir / f"{item_id}.npy",
+                    gta[j, :, : int(mel_lens[j])], allow_pickle=False)
+        log(f"GTA batch {i + 1} saved")
+
+
+def create_attn_ref(params, dataset, tts: TacotronConfig, r: int, save_dir,
+                    log=print):
+    """Save teacher-forced attention maps for offline attention forcing."""
+    import numpy as np
+    save_dir.mkdir(parents=True, exist_ok=True)
+    for i, (x_ids, m, ids, mel_lens) in enumerate(dataset):
+        _, _, attn, _ = taco.forward(
+            jax.tree_util.tree_map(jnp.asarray, params), jnp.asarray(x_ids),
+            jnp.asarray(m), tts, r, jax.random.PRNGKey(0),
+            mode="teacher_forcing", training=False, generate_gta=True)
+        attn = np.asarray(attn)
+        for j, item_id in enumerate(ids):
+            np.save(save_dir / f"{item_id}.npy", attn[j], allow_pickle=False)
+        log(f"attn_ref batch {i + 1} saved")
