@@ -1,0 +1,158 @@
+"""Magnitude pruning with cubic sparsity schedule (reference
+``notebooks/Pruning - Scratchpad.ipynb`` cells 3-4: PruneMask / Pruner).
+
+Functional JAX version: a PruneSpec names which weight matrices to prune
+and their gate-split counts (GRU: 3, LSTM: 4, Linear: 1); sparsity follows
+  z(t) = Z * (1 - (1 - (t - t0)/S)^3)  clamped to [0, Z]
+with masks recomputed every ``prune_every`` steps from weight magnitudes
+(per gate split) and applied every step after t0.  Masks are plain pytrees
+-> jit-friendly, checkpointable, and restart-safe (recompute from weights,
+Pruner.restart semantics).
+
+The pruned sample-loop path keeps masked weights dense in VMEM (zeros);
+at the reference's 93.75% target a block-sparse VMEM layout is the follow-on
+optimization.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class PruneSpec:
+    """Which params to prune: list of (path, n_splits) where path addresses
+    a 2D weight in the params pytree, e.g. ("rnn1", "wh") with 3 splits.
+
+    Our GRU/LSTM weights are stored transposed (in, gates*h) relative to
+    torch, so gate splits run along the LAST axis.
+    """
+
+    def __init__(self, entries: Sequence[Tuple[Tuple[str, ...], int]]):
+        self.entries = list(entries)
+
+
+def wavernn_prune_spec(prune_rnn_input: bool = True) -> PruneSpec:
+    """The reference demo prunes the GRU weights (and optionally the input
+    matrices) plus the FC layers."""
+    entries = [
+        (("rnn1", "wh"), 3),
+        (("rnn2", "wh"), 3),
+        (("fc1", "w"), 1),
+        (("fc2", "w"), 1),
+        (("fc3", "w"), 1),
+    ]
+    if prune_rnn_input:
+        entries = [(("rnn1", "wi"), 3), (("rnn2", "wi"), 3)] + entries
+    return PruneSpec(entries)
+
+
+def sparsity_at(t, t0: int, S: int, Z: float):
+    """Cubic schedule (Pruner.update_sparsity)."""
+    z = Z * (1.0 - (1.0 - (t - t0) / S) ** 3)
+    return jnp.clip(z, 0.0, Z)
+
+
+def _get(tree, path):
+    for p in path:
+        tree = tree[p]
+    return tree
+
+
+def _set(tree, path, value):
+    if not path:
+        return value
+    out = dict(tree)
+    out[path[0]] = _set(tree[path[0]], path[1:], value)
+    return out
+
+
+def mask_from_matrix(W, z, n_splits: int):
+    """Per-gate-split magnitude mask (PruneMask.mask_from_matrix).
+
+    W: (in, n_splits * h); split along the gate axis, zero the smallest
+    z-fraction of each split."""
+    in_dim, out_dim = W.shape
+    h = out_dim // n_splits
+    Ws = W.reshape(in_dim, n_splits, h)
+    Wa = jnp.abs(jnp.swapaxes(Ws, 0, 1)).reshape(n_splits, -1)  # (splits, in*h)
+    sorted_abs = jnp.sort(Wa, axis=-1)
+    n = in_dim * h
+    k = jnp.clip((n * z).astype(jnp.int32), 0, n - 1)  # kth smallest = thresh
+    thr = sorted_abs[:, k][:, None] if jnp.ndim(k) == 0 else \
+        jnp.take_along_axis(sorted_abs, k[:, None], axis=-1)
+    M = (Wa >= thr).astype(W.dtype).reshape(n_splits, in_dim, h)
+    return jnp.swapaxes(M, 0, 1).reshape(in_dim, out_dim)
+
+
+def init_masks(params, spec: PruneSpec):
+    return {"/".join(path): jnp.ones_like(_get(params, path))
+            for path, _ in spec.entries}
+
+
+@partial(jax.jit, static_argnames=("spec", "t0", "S", "Z"))
+def update_masks(params, spec_entries_key, t, spec: PruneSpec, t0: int,
+                 S: int, Z: float):
+    """Recompute all masks at sparsity z(t) (PruneMask.update_mask)."""
+    z = sparsity_at(t.astype(jnp.float32), t0, S, Z)
+    masks = {}
+    for path, n_splits in spec.entries:
+        masks["/".join(path)] = mask_from_matrix(_get(params, path), z,
+                                                 n_splits)
+    return masks
+
+
+def apply_masks(params, masks, spec: PruneSpec):
+    """W *= M for every pruned matrix (PruneMask.apply_mask)."""
+    for path, _ in spec.entries:
+        key = "/".join(path)
+        params = _set(params, path, _get(params, path) * masks[key])
+    return params
+
+
+class Pruner:
+    """Step-driven orchestration (reference Pruner): update masks every
+    ``prune_every`` steps after t0, apply every step after t0."""
+
+    def __init__(self, spec: PruneSpec, start_prune: int, prune_steps: int,
+                 target_sparsity: float, prune_every: int = 500):
+        self.spec = spec
+        self.t0 = start_prune
+        self.S = prune_steps
+        self.Z = target_sparsity
+        self.prune_every = prune_every
+        self.masks = None
+
+    def init(self, params):
+        self.masks = init_masks(params, self.spec)
+        return self.masks
+
+    def step(self, params, t: int):
+        """Returns (possibly masked) params; call once per training step."""
+        if self.masks is None:
+            self.init(params)
+        if t > self.t0 and t % self.prune_every == 0:
+            self.masks = update_masks(params, None, jnp.asarray(t), self.spec,
+                                      self.t0, self.S, self.Z)
+        if t >= self.t0:
+            params = apply_masks(params, self.masks, self.spec)
+        return params
+
+    def restart(self, params, t: int):
+        """Recompute masks after resuming from a checkpoint
+        (Pruner.restart)."""
+        self.masks = update_masks(params, None, jnp.asarray(t), self.spec,
+                                  self.t0, self.S, self.Z)
+        return self.masks
+
+    def num_pruned(self) -> int:
+        if self.masks is None:
+            return 0
+        return int(sum(float((1 - m).sum()) for m in self.masks.values()))
+
+    def total_params(self) -> int:
+        if self.masks is None:
+            return 0
+        return int(sum(m.size for m in self.masks.values()))
