@@ -1,0 +1,128 @@
+"""End-to-end CLI pipeline over a tiny synthetic corpus:
+preprocess -> train_wavernn -> train_tacotron -> gen_wavernn -> gen_tacotron.
+"""
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from wavernn_tpu.dsp.audio import save_wav
+from wavernn_tpu.config import Config
+
+
+@pytest.fixture(scope="module")
+def project(tmp_path_factory):
+    """Corpus + hparams file + chdir into an isolated project dir."""
+    root = tmp_path_factory.mktemp("proj")
+    wav_dir = root / "corpus" / "wavs"
+    wav_dir.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    cfg = Config()
+    lines = []
+    for i in range(24):
+        n = cfg.dsp.hop_length * rng.randint(24, 40)
+        t = np.arange(n) / cfg.dsp.sample_rate
+        y = 0.4 * np.sin(2 * np.pi * (220 + 10 * i) * t)
+        save_wav(y.astype(np.float32), wav_dir / f"u{i:02d}.wav",
+                 cfg.dsp.sample_rate)
+        lines.append(f"u{i:02d}|raw|This is utterance number {i}.")
+    (root / "corpus" / "metadata.csv").write_text("\n".join(lines))
+
+    hp = root / "hparams_test.py"
+    hp.write_text(textwrap.dedent(f"""
+        wav_path = {str(wav_dir)!r}
+        data_path = {str(root / 'data')!r}
+        voc_model_id = 'test_voc'
+        tts_model_id = 'test_tts'
+        voc_mode = 'RAW'
+        voc_rnn_dims = 32
+        voc_fc_dims = 32
+        voc_compute_dims = 16
+        voc_res_out_dims = 16
+        voc_res_blocks = 1
+        voc_batch_size = 4
+        voc_total_steps = 3
+        voc_checkpoint_every = 1000
+        voc_test_samples = 4
+        voc_seq_len = 275 * 3
+        voc_target = 2200
+        voc_overlap = 550
+        tts_embed_dims = 32
+        tts_encoder_dims = 128
+        tts_decoder_dims = 256
+        tts_postnet_dims = 16
+        tts_encoder_K = 2
+        tts_lstm_dims = 32
+        tts_postnet_K = 2
+        tts_num_highways = 1
+        tts_schedule = [(5, 1e-3, 2, 4)]
+        tts_max_mel_len = 1250
+        tts_checkpoint_every = 1000
+        mode = 'teacher_forcing'
+    """))
+    cwd = os.getcwd()
+    os.chdir(root)
+    yield root, str(hp)
+    os.chdir(cwd)
+
+
+def test_preprocess_cli(project):
+    root, hp = project
+    from wavernn_tpu.cli.preprocess import main
+    main(["--hp_file", hp])
+    assert (root / "data" / "dataset.pkl").exists()
+    assert len(list((root / "data" / "mel").glob("*.npy"))) == 24
+
+
+def test_train_wavernn_cli(project):
+    root, hp = project
+    from wavernn_tpu.cli.train_wavernn import main
+    main(["--hp_file", hp])
+    assert (root / "checkpoints" / "test_voc.wavernn"
+            / "latest_weights.npz").exists()
+
+
+def test_train_tacotron_cli(project):
+    root, hp = project
+    from wavernn_tpu.cli.train_tacotron import main
+    main(["--hp_file", hp])
+    assert (root / "checkpoints" / "test_tts.tacotron"
+            / "latest_weights.npz").exists()
+
+
+def test_gen_wavernn_cli(project):
+    root, hp = project
+    from wavernn_tpu.cli.gen_wavernn import main
+    main(["--hp_file", hp, "--samples", "1", "--unbatched"])
+    outs = list((root / "model_outputs" / "test_voc.wavernn").glob("*.wav"))
+    assert len(outs) >= 2  # target + generated
+
+
+def test_gta_export_cli(project):
+    root, hp = project
+    from wavernn_tpu.cli.train_tacotron import main
+    main(["--hp_file", hp, "--force_gta"])
+    gta = list((root / "data" / "gta_test_tts").glob("*.npy"))
+    assert len(gta) == 24
+    m = np.load(gta[0])
+    assert m.shape[0] == 80
+
+
+def test_gen_tacotron_griffinlim_cli(project):
+    root, hp = project
+    from wavernn_tpu.cli.gen_tacotron import main
+    main(["--hp_file", hp, "--input_text", "Hello world.", "griffinlim",
+          "--iters", "4"])
+    outs = list((root / "model_outputs" / "test_tts.tacotron").glob("*.wav"))
+    assert len(outs) >= 1
+
+
+def test_gen_tacotron_wavernn_cli(project):
+    root, hp = project
+    from wavernn_tpu.cli.gen_tacotron import main
+    main(["--hp_file", hp, "--input_text", "Hi there.", "wavernn",
+          "--unbatched"])
+    outs = list((root / "model_outputs" / "test_tts.tacotron").glob(
+        "*wavernn*.wav"))
+    assert len(outs) >= 1

@@ -1,0 +1,106 @@
+"""CLI: end-to-end TTS synthesis (reference gen_tacotron.py).
+
+    python -m wavernn_tpu.cli.gen_tacotron wavernn --input_text "Hello."
+    python -m wavernn_tpu.cli.gen_tacotron griffinlim --iters 32
+"""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+
+from ..dsp.audio import save_wav
+from ..synthesis import tts_to_wav
+from ..utils.display import save_attention, simple_table
+from .common import (load_config, load_tts_weights, load_voc_weights,
+                     make_workspace)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="TTS Generator")
+    parser.add_argument("--input_text", "-i", default=None)
+    parser.add_argument("--save_attention", "-a", action="store_true")
+    parser.add_argument("--hp_file", default=None)
+    parser.add_argument("--use_standard_names", action="store_true")
+    subs = parser.add_subparsers(dest="vocoder", required=True)
+
+    wr_p = subs.add_parser("wavernn")
+    wr_p.add_argument("--batched", "-b", dest="batched", action="store_true")
+    wr_p.add_argument("--unbatched", "-u", dest="batched",
+                      action="store_false")
+    wr_p.set_defaults(batched=None)
+    wr_p.add_argument("--voc_weights", default=None)
+    wr_p.add_argument("--tts_weights", default=None)
+    wr_p.add_argument("--pallas", action="store_true")
+
+    gl_p = subs.add_parser("griffinlim")
+    gl_p.add_argument("--iters", type=int, default=32)
+    gl_p.add_argument("--tts_weights", default=None)
+
+    args = parser.parse_args(argv)
+    cfg = load_config(args.hp_file)
+    ws = make_workspace(cfg)
+
+    tts_weights = args.tts_weights or ws.tts_latest_weights
+    tts_params, tts_step, r = load_tts_weights(tts_weights, cfg)
+    tts_k = tts_step // 1000
+
+    voc_params, voc_step = None, 0
+    batched = True
+    if args.vocoder == "wavernn":
+        voc_weights = args.voc_weights or ws.voc_latest_weights
+        voc_params, voc_step = load_voc_weights(voc_weights, cfg)
+        batched = (cfg.voc.gen_batched if args.batched is None
+                   else args.batched)
+        simple_table([
+            ("Tacotron", f"{tts_k}k"), ("r", r),
+            ("Vocoder Type", "WaveRNN"), ("WaveRNN", f"{voc_step // 1000}k"),
+            ("Generation Mode", "Batched" if batched else "Unbatched"),
+            ("Target Samples", cfg.voc.target if batched else "N/A"),
+            ("Overlap Samples", cfg.voc.overlap if batched else "N/A"),
+        ])
+    else:
+        simple_table([("Tacotron", f"{tts_k}k"), ("r", r),
+                      ("Vocoder Type", "Griffin-Lim"),
+                      ("GL Iters", args.iters)])
+
+    if args.input_text:
+        inputs = [args.input_text.strip()]
+    else:
+        sent_file = cfg.test_sentences_file or "test_sentences/sentences.txt"
+        with open(sent_file) as f:
+            inputs = [line.strip() for line in f if line.strip()]
+
+    for i, text in enumerate(inputs, 1):
+        print(f"| Generating {i}/{len(inputs)}")
+        wav, m, attention = tts_to_wav(
+            tts_params, voc_params, text, cfg, r,
+            key=jax.random.PRNGKey(i), batched=batched,
+            vocoder=args.vocoder,
+            gl_iters=getattr(args, "iters", 32),
+            use_pallas=getattr(args, "pallas", False))
+
+        if args.vocoder == "griffinlim":
+            v_type = "griffinlim"
+        elif batched:
+            v_type = "wavernn_batched"
+        else:
+            v_type = "wavernn_unbatched"
+
+        if args.input_text:
+            save_path = ws.tts_output / \
+                f"__input_{args.input_text[:10]}_{v_type}_{tts_k}k.wav"
+        else:
+            save_path = ws.tts_output / f"{i}_{v_type}_{tts_k}k.wav"
+        if args.use_standard_names and cfg.test_sentences_names:
+            save_path = ws.tts_output / f"{cfg.test_sentences_names[i - 1]}.wav"
+
+        if args.save_attention:
+            save_attention(attention, save_path)
+        save_wav(wav, save_path, cfg.dsp.sample_rate)
+    print("Done.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""CLI: Tacotron training (reference train_tacotron.py).
+
+    python -m wavernn_tpu.cli.train_tacotron [--force_gta] [--force_attn]
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dataset import get_tts_datasets
+from ..train import tacotron_train as tt
+from ..train.checkpoints import restore_checkpoint
+from ..utils.display import save_attention, simple_table
+from .common import load_config, load_tts_weights, make_workspace
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Train Tacotron TTS")
+    parser.add_argument("--force_train", "-f", action="store_true")
+    parser.add_argument("--force_gta", "-g", action="store_true")
+    parser.add_argument("--force_attn", "-a", action="store_true")
+    parser.add_argument("--hp_file", default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    cfg = load_config(args.hp_file)
+    if cfg.random_seed is not None:
+        args.seed = cfg.random_seed
+    ws = make_workspace(cfg)
+
+    state = tt.create_train_state(jax.random.PRNGKey(args.seed), cfg.tts,
+                                  cfg.dsp.num_mels,
+                                  cfg.tts_train.schedule[0][1],
+                                  cfg.tts_train.clip_grad_norm)
+    params, opt_state, step = restore_checkpoint(
+        "tts", ws, state.params, state.opt_state, create_if_missing=True,
+        init_weights_path=cfg.tts_train.init_weights_path)
+    state = tt.TTSTrainState(params, opt_state, jnp.asarray(step, jnp.int32))
+
+    teacher_params = None
+    if cfg.tts.mode == "attention_forcing_online":
+        assert cfg.tts_train.model_tf_path, \
+            "AF-online needs model_tf_path (train_tacotron.py:78-92)"
+        teacher_params, _, _ = load_tts_weights(cfg.tts_train.model_tf_path,
+                                                cfg)
+
+    if args.force_gta or args.force_attn:
+        r = tt.session_for_step(cfg.tts_train.schedule, int(state.step))[0]
+        ds, _ = get_tts_datasets(ws.data, 8, r, cfg, seed=args.seed)
+        if args.force_gta:
+            tt.create_gta_features(state.params, ds, cfg.tts, r, ws.gta)
+        if args.force_attn:
+            tt.create_attn_ref(state.params, ds, cfg.tts, r, ws.attn)
+        return
+
+    simple_table([
+        ("Mode", cfg.tts.mode),
+        ("Step", int(state.step)),
+        ("Schedule", len(cfg.tts_train.schedule)),
+        ("Max mel len", cfg.tts_train.max_mel_len),
+    ])
+
+    def make_dataset(r, bs):
+        ds, attn_example = get_tts_datasets(
+            ws.data, bs, r, cfg, seed=args.seed,
+            num_shards=max(jax.process_count(), 1),
+            shard_index=jax.process_index())
+        make_dataset.attn_example = attn_example
+        return ds
+
+    def on_checkpoint(st, metrics, ids):
+        # attention plot for monitoring (train_tacotron.py:216-219)
+        ex = getattr(make_dataset, "attn_example", None)
+        if ex is not None and ex in ids:
+            idx = list(ids).index(ex)
+            save_attention(np.asarray(metrics["attn"])[idx],
+                           ws.tts_attention / f"{int(st.step)}")
+
+    tt.train_loop(cfg, ws, state, make_dataset,
+                  teacher_params=teacher_params,
+                  key=jax.random.PRNGKey(args.seed),
+                  on_checkpoint=on_checkpoint)
+    print("Training Complete.")
+
+
+if __name__ == "__main__":
+    main()

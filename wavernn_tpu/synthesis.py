@@ -1,0 +1,111 @@
+"""Synthesis flows: copy-synthesis and end-to-end text -> wav
+(reference gen_wavernn.py:11-65, gen_tacotron.py:142-173)."""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from .config import Config
+from .dsp.audio import decode_mu_law, label_2_float, load_wav, save_wav
+from .dsp.mel import melspectrogram_np
+from .models import tacotron as taco
+from .models import wavernn as wr
+from .text import text_to_sequence
+
+
+def gen_testset(params, test_set, samples: int, batched: bool, target: int,
+                overlap: int, save_path: Path, cfg: Config, step: int = 0,
+                key=None, log=print):
+    """Copy-synthesis of held-out items (gen_wavernn.py:11-35): saves the
+    decoded ground-truth next to the model output."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    k = step // 1000
+    save_path = Path(save_path)
+    for i in range(min(samples, len(test_set))):
+        m, x = test_set[i]
+        log(f"| Generating: {i + 1}/{samples}")
+        bits = 16 if cfg.voc.mode == "MOL" else cfg.dsp.bits
+        if cfg.dsp.mu_law and cfg.voc.mode != "MOL":
+            gt = decode_mu_law(x, 2 ** bits, from_labels=True)
+        else:
+            gt = label_2_float(x.astype(np.float64), bits)
+        save_wav(gt, save_path / f"{k}k_steps_{i + 1}_target.wav",
+                 cfg.dsp.sample_rate)
+
+        batch_str = (f"gen_batched_target{target}_overlap{overlap}"
+                     if batched else "gen_NOT_BATCHED")
+        out = wr.generate(params, m[None], cfg.voc, cfg.dsp,
+                          jax.random.fold_in(key, i), batched=batched,
+                          target=target, overlap=overlap,
+                          mu_law=cfg.dsp.mu_law, use_pallas=False)
+        save_wav(out, save_path / f"{k}k_steps_{i + 1}_{batch_str}.wav",
+                 cfg.dsp.sample_rate)
+
+
+def gen_from_file(params, load_path: Path, save_path: Path, batched: bool,
+                  target: int, overlap: int, cfg: Config, step: int = 0,
+                  key=None, use_pallas: bool = False):
+    """Vocode a .wav (re-analyzed) or a saved [0,1] mel .npy
+    (gen_wavernn.py:38-65)."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    load_path, save_path = Path(load_path), Path(save_path)
+    k = step // 1000
+    file_name = load_path.stem
+
+    if load_path.suffix == ".wav":
+        wav = load_wav(load_path, cfg.dsp.sample_rate)
+        save_wav(wav, save_path / f"__{file_name}__{k}k_steps_target.wav",
+                 cfg.dsp.sample_rate)
+        mel = melspectrogram_np(wav, cfg.dsp)
+    elif load_path.suffix == ".npy":
+        mel = np.load(load_path)
+        if mel.ndim != 2 or mel.shape[0] != cfg.dsp.num_mels:
+            raise ValueError(
+                f"Expected a numpy array shaped (n_mels, n_hops), got {mel.shape}")
+        if mel.max() >= 1.01 or mel.min() <= -0.01:
+            raise ValueError(
+                f"Expected spectrogram range in [0,1], got "
+                f"[{mel.min()}, {mel.max()}]")
+    else:
+        raise ValueError(f"Expected .wav or .npy, got {load_path.suffix}")
+
+    batch_str = (f"gen_batched_target{target}_overlap{overlap}" if batched
+                 else "gen_NOT_BATCHED")
+    out = wr.generate(params, mel[None], cfg.voc, cfg.dsp, key,
+                      batched=batched, target=target, overlap=overlap,
+                      mu_law=cfg.dsp.mu_law, use_pallas=use_pallas)
+    save_wav(out, save_path / f"__{file_name}__{k}k_steps_{batch_str}.wav",
+             cfg.dsp.sample_rate)
+    return out
+
+
+def tts_to_wav(tts_params, voc_params, text: str, cfg: Config, r: int,
+               key=None, batched: bool = True, steps: int = 2000,
+               vocoder: str = "wavernn", gl_iters: int = 32,
+               use_pallas: bool = False):
+    """Full text -> waveform (gen_tacotron.py:142-173, quick_start.py:88-120).
+
+    Uses the postnet output as the vocoder conditioning (`_, m, attention =
+    tts_model.generate(x)`, gen_tacotron.py:145), rescaled [-4,4] -> [0,1].
+    Returns (wav, mel, attention).
+    """
+    key = key if key is not None else jax.random.PRNGKey(0)
+    x = text_to_sequence(text.strip(), cfg.tts.cleaner_names)
+    _, m, attention = taco.generate(tts_params, np.asarray(x), cfg.tts, r,
+                                    cfg.dsp.num_mels, steps=steps, key=key)
+    m = np.clip((m + 4.0) / 8.0, 0.0, 1.0)
+
+    if vocoder == "wavernn":
+        wav = wr.generate(voc_params, m[None], cfg.voc, cfg.dsp,
+                          jax.random.fold_in(key, 1), batched=batched,
+                          target=cfg.voc.target, overlap=cfg.voc.overlap,
+                          mu_law=cfg.dsp.mu_law, use_pallas=use_pallas)
+    elif vocoder == "griffinlim":
+        from .dsp.griffinlim import reconstruct_waveform
+        wav = reconstruct_waveform(m, cfg.dsp, n_iter=gl_iters)
+    else:
+        raise ValueError(vocoder)
+    return wav, m, attention

@@ -131,6 +131,83 @@ def _merge_bn(params, bn_source):
     return jax.tree_util.tree_map_with_path(merge, params, bn_source)
 
 
+def train_loop(cfg: Config, workspace, state: TTSTrainState,
+               make_dataset, teacher_params=None, log=print,
+               max_steps: Optional[int] = None, key=None,
+               on_checkpoint=None):
+    """Progressive-schedule training driver (train_tacotron.py:98-430).
+
+    make_dataset(r, batch_size) -> iterable of batches.  Dispatches on
+    cfg.tts.mode to the TF / AF-online / AF-offline steps; checkpoints every
+    cfg.tts_train.checkpoint_every steps plus a named snapshot.
+    """
+    import jax as _jax
+
+    from .checkpoints import save_checkpoint
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    mode = cfg.tts.mode
+    offline = mode == "attention_forcing_offline"
+    online = mode == "attention_forcing_online"
+
+    for session_idx, (r, lr, max_step, bs) in enumerate(cfg.tts_train.schedule):
+        if int(state.step) >= max_step:
+            continue
+        if max_steps is not None:
+            max_step = min(max_step, max_steps)
+        dataset = make_dataset(r, bs)
+        log(f"Session {session_idx}: r={r} lr={lr} until step {max_step} bs={bs}")
+        while int(state.step) < max_step:
+            for batch in dataset:
+                key, k_step, k_teacher = _jax.random.split(key, 3)
+                if offline:
+                    chars, mel, ids, mel_lens, attn_ref = batch
+                    state, metrics = train_step_af(
+                        state, jnp.asarray(chars), jnp.asarray(mel),
+                        jnp.asarray(attn_ref), cfg.tts, r, lr, k_step,
+                        cfg.tts_train.attn_loss_coeff,
+                        cfg.tts_train.clip_grad_norm, offline=True)
+                elif online:
+                    chars, mel, ids, mel_lens = batch
+                    attn_ref = teacher_attn_ref(teacher_params,
+                                                jnp.asarray(chars),
+                                                jnp.asarray(mel), cfg.tts, r,
+                                                k_teacher)
+                    state, metrics = train_step_af(
+                        state, jnp.asarray(chars), jnp.asarray(mel), attn_ref,
+                        cfg.tts, r, lr, k_step,
+                        cfg.tts_train.attn_loss_coeff,
+                        cfg.tts_train.clip_grad_norm, offline=False)
+                else:
+                    chars, mel, ids, mel_lens = batch
+                    state, metrics = train_step_tf(
+                        state, jnp.asarray(chars), jnp.asarray(mel), cfg.tts,
+                        r, lr, k_step, cfg.tts_train.clip_grad_norm)
+
+                step = int(state.step)
+                if step % cfg.tts_train.checkpoint_every == 0:
+                    save_checkpoint("tts", workspace, state.params,
+                                    state.opt_state, step,
+                                    name=f"taco_step{step // 1000}K", log=log)
+                    if on_checkpoint is not None:
+                        on_checkpoint(state, metrics, ids)
+                if step >= max_step or (max_steps is not None
+                                        and step >= max_steps):
+                    break
+            else:
+                continue
+            break
+        save_checkpoint("tts", workspace, state.params, state.opt_state,
+                        int(state.step), log=log)
+        msg = f"| Session {session_idx} done | loss {float(metrics['loss']):.4f} | step {int(state.step)} |"
+        log(msg)
+        with open(workspace.tts_log, "a") as f:
+            print(msg, file=f)
+        if max_steps is not None and int(state.step) >= max_steps:
+            break
+    return state
+
+
 # --------------------------------------------------------------------------
 # GTA / attention-ref export (train_tacotron.py:433-485)
 # --------------------------------------------------------------------------
