@@ -61,14 +61,18 @@ def _gru_gates(gi, gh, h):
     return (1.0 - z) * n + z * h
 
 
-@partial(jax.jit, static_argnames=("voc", "bits"))
-def generate_scan(params, mels_up, aux, voc: WaveRNNConfig, bits: int,
-                  key, noise: Optional[tuple] = None):
-    """Run the sample loop. mels_up/aux: (B, T, ·) upsampled conditioning.
+@partial(jax.jit, static_argnames=("voc", "bits", "state_snapshot_at"))
+def generate_scan_with_state(params, mels_up, aux, voc: WaveRNNConfig,
+                             bits: int, key,
+                             noise: Optional[tuple] = None,
+                             init_state: Optional[tuple] = None,
+                             state_snapshot_at: Optional[int] = None):
+    """Sample loop with explicit RNN-state I/O.
 
-    noise: optionally ((T,B,nr_mix),(T,B)) MOL uniforms or (T,B,n_classes)
-    RAW uniforms for deterministic replay (parity tests).
-    Returns samples (B, T) float32 in [-1, 1].
+    init_state: optional (h1, h2, x) to resume from (exact-seam fold
+    handoff); state_snapshot_at: optional step index t — also return the
+    (h1, h2, x) state as it stood *entering* step t.
+    Returns (samples (B,T), snapshot_state).
     """
     B, T, _ = mels_up.shape
     R = voc.rnn_dims
@@ -100,11 +104,16 @@ def generate_scan(params, mels_up, aux, voc: WaveRNNConfig, bits: int,
                                        maxval=1.0)
 
     def step(carry, inputs):
-        h1, h2, x = carry
+        t, (h1, h2, x), snap = carry
         if voc.mode == "MOL":
             ic, g2c, f1c, f2c, (um, us) = inputs
         else:
             ic, g2c, f1c, f2c, u = inputs
+        if state_snapshot_at is not None:
+            # capture the state *entering* step `state_snapshot_at`
+            snap = jax.tree_util.tree_map(
+                lambda s, n: jnp.where(t == state_snapshot_at, n, s),
+                snap, (h1, h2, x))
 
         inp = ic + x[:, None] * I_wx                       # (B, R)
         h1 = _gru_gates(inp @ wi1 + bi1, h1 @ wh1 + bh1, h1)
@@ -121,11 +130,31 @@ def generate_scan(params, mels_up, aux, voc: WaveRNNConfig, bits: int,
                 logits, um, us)
         else:
             sample = sample_raw_categorical_with_noise(logits, u)
-        return (h1, h2, sample), sample
+        return (t + 1, (h1, h2, sample), snap), sample
 
-    h0 = jnp.zeros((B, R), mels_up.dtype)
-    x0 = jnp.zeros((B,), mels_up.dtype)
+    if init_state is None:
+        h0 = jnp.zeros((B, R), mels_up.dtype)
+        x0 = jnp.zeros((B,), mels_up.dtype)
+        state0 = (h0, h0, x0)
+    else:
+        state0 = init_state
+    snap0 = jax.tree_util.tree_map(jnp.zeros_like, state0)
     xs = (jnp.swapaxes(i_cond, 0, 1), jnp.swapaxes(gi2_cond, 0, 1),
           jnp.swapaxes(f1_cond, 0, 1), jnp.swapaxes(f2_cond, 0, 1), noise)
-    _, samples = jax.lax.scan(step, (h0, h0, x0), xs)
-    return jnp.swapaxes(samples, 0, 1)  # (B, T)
+    (_, final, snap), samples = jax.lax.scan(
+        step, (jnp.asarray(0, jnp.int32), state0, snap0), xs)
+    return (jnp.swapaxes(samples, 0, 1),
+            snap if state_snapshot_at is not None else final)
+
+
+def generate_scan(params, mels_up, aux, voc: WaveRNNConfig, bits: int,
+                  key, noise: Optional[tuple] = None):
+    """Run the sample loop. mels_up/aux: (B, T, ·) upsampled conditioning.
+
+    noise: optionally ((T,B,nr_mix),(T,B)) MOL uniforms or (T,B,n_classes)
+    RAW uniforms for deterministic replay (parity tests).
+    Returns samples (B, T) float32 in [-1, 1].
+    """
+    samples, _ = generate_scan_with_state(params, mels_up, aux, voc, bits,
+                                          key, noise=noise)
+    return samples

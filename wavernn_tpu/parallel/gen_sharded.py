@@ -1,0 +1,133 @@
+"""Scale-out generation: folds data-parallel over the mesh, with an
+optional exact-seam mode.
+
+Crossfade mode (the reference's scheme, fatchord_version.py:293-405): folds
+are fully independent after their overlap warmup -> shard the fold batch
+over the ``data`` axis, zero mid-loop communication, equal-power xfade at
+the end.
+
+Exact-seam mode (TPU-native extension, SURVEY §5): instead of crossfading
+approximately-matching overlap regions, hand the true RNN state across fold
+boundaries.  Each refinement pass re-runs all folds in parallel, this time
+initializing fold i with the state fold i-1 had when it *entered* local
+step ``target + overlap`` (= fold i's global start).  The state shift is a
+roll along the fold axis, which XLA lowers to a collective permute when
+folds are sharded.  Pass k makes the first k+1 folds exact, and since the
+RNN forgets over the ``overlap`` warmup, 1-2 passes are audibly seamless;
+``num_folds`` passes reproduce sequential generation bit-for-bit, enabling
+hard concatenation with no crossfade.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DSPConfig, WaveRNNConfig
+from ..ops import fold as F
+from ..ops.sample_loop import generate_scan_with_state
+
+
+@partial(jax.jit, static_argnames=("voc", "bits", "target", "overlap",
+                                   "seam_passes"))
+def generate_exact_seam(params, mels_up, aux, voc: WaveRNNConfig, bits: int,
+                        key, target: int, overlap: int,
+                        seam_passes: int = 2, noise=None):
+    """Folded generation with state handoff. mels_up/aux: folded (B, L, ·)
+    with L = target + 2*overlap.  Returns (samples (B, L), per-pass seam
+    error) — concatenate with `concat_folds`.
+    """
+    B, L, _ = mels_up.shape
+    boundary = target + overlap  # fold i's global start within fold i-1
+
+    if noise is None and voc.mode == "MOL":
+        nr_mix = voc.n_classes(bits) // 3
+        k1, k2 = jax.random.split(key)
+        noise = (jax.random.uniform(k1, (L, B, nr_mix), minval=1e-5,
+                                    maxval=1.0 - 1e-5),
+                 jax.random.uniform(k2, (L, B), minval=1e-5,
+                                    maxval=1.0 - 1e-5))
+
+    def one_pass(init_state):
+        samples, snap = generate_scan_with_state(
+            params, mels_up, aux, voc, bits, key, noise=noise,
+            init_state=init_state, state_snapshot_at=boundary)
+        return samples, snap
+
+    def shift(state):
+        # fold i receives fold i-1's boundary state; fold 0 keeps zeros.
+        def roll(s):
+            rolled = jnp.roll(s, 1, axis=0)
+            return rolled.at[0].set(jnp.zeros_like(rolled[0]))
+        return jax.tree_util.tree_map(roll, state)
+
+    samples, snap = one_pass(None)
+    errs = []
+    for _ in range(seam_passes):
+        init = shift(snap)
+        new_samples, snap = one_pass(init)
+        errs.append(jnp.mean(jnp.abs(new_samples - samples)))
+        samples = new_samples
+    return samples, jnp.stack(errs) if errs else jnp.zeros((0,))
+
+
+def concat_folds(samples, target: int, overlap: int, wave_len: int):
+    """Hard (no-crossfade) unfold for exact-seam output: fold i contributes
+    its local [0, target+overlap) samples at global offset i*(target+overlap).
+    """
+    B = samples.shape[0]
+    seg = target + overlap
+    body = samples[:, :seg].reshape(-1)
+    tail = samples[-1, seg:]
+    return jnp.concatenate([body, tail])[:wave_len]
+
+
+def generate_sharded(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
+                     mesh=None, target: Optional[int] = None,
+                     overlap: Optional[int] = None, seam_passes: int = 0,
+                     use_pallas: bool = False):
+    """End-to-end batched generation with folds laid out on the mesh's
+    ``data`` axis.  seam_passes=0 -> reference crossfade semantics;
+    seam_passes>0 -> exact-seam state handoff + hard concat.
+    """
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..models.wavernn import upsample_apply
+
+    target = voc.target if target is None else target
+    overlap = voc.overlap if overlap is None else overlap
+
+    mels = jnp.asarray(mels)
+    wave_len = (mels.shape[-1] - 1) * dsp.hop_length
+    mels = jnp.pad(mels, ((0, 0), (0, 0), (voc.pad, voc.pad)))
+    mels_up, aux, _ = upsample_apply(params["upsample"], mels, voc,
+                                     training=False)
+    mels_up = F.fold_with_overlap(mels_up, target, overlap)
+    aux = F.fold_with_overlap(aux, target, overlap)
+
+    if mesh is not None:
+        n = mesh.shape["data"]
+        pad_folds = (-mels_up.shape[0]) % n
+        if pad_folds:
+            mels_up = jnp.pad(mels_up, ((0, pad_folds), (0, 0), (0, 0)))
+            aux = jnp.pad(aux, ((0, pad_folds), (0, 0), (0, 0)))
+        sh = NamedSharding(mesh, P("data"))
+        mels_up = jax.device_put(mels_up, sh)
+        aux = jax.device_put(aux, sh)
+
+    if seam_passes > 0:
+        samples, _ = generate_exact_seam(params, mels_up, aux, voc, dsp.bits,
+                                         key, target, overlap, seam_passes)
+        return np.asarray(concat_folds(samples, target, overlap, wave_len))
+
+    if use_pallas:
+        from ..ops.pallas_gen import generate_pallas
+        samples = generate_pallas(params, mels_up, aux, voc, dsp.bits, key)
+    else:
+        from ..ops.sample_loop import generate_scan
+        samples = generate_scan(params, mels_up, aux, voc, dsp.bits, key)
+    wav = F.xfade_and_unfold_jax(samples, overlap)[:wave_len]
+    return np.asarray(wav)
