@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Scaling benchmark: generated audio-seconds/s at 1 chip vs N chips
+(BASELINE.md target: >= 80% efficiency to 2 hosts).
+
+Folds are the data-parallel axis; each device runs the sample loop on its
+shard of the fold batch with zero mid-loop communication (crossfade mode).
+On single-chip hardware this still reports the 1-device row and validates
+the N-device path on a forced-host-device CPU mesh when requested:
+
+    python bench_scaling.py            # real devices
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python bench_scaling.py --cpu  # 8 virtual devices
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cpu", action="store_true",
+                        help="force CPU backend (virtual device mesh)")
+    parser.add_argument("--frames", type=int, default=1345)
+    parser.add_argument("--target", type=int, default=None)
+    parser.add_argument("--overlap", type=int, default=None)
+    args = parser.parse_args()
+
+    if args.cpu:
+        import os
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from wavernn_tpu.config import DSPConfig, WaveRNNConfig
+    from wavernn_tpu.models import wavernn as wr
+    from wavernn_tpu.parallel.gen_sharded import generate_sharded
+    from wavernn_tpu.parallel.mesh import make_mesh
+
+    dsp = DSPConfig()
+    voc = WaveRNNConfig(mode="MOL")
+    params = wr.init_wavernn(jax.random.PRNGKey(1), voc, dsp)
+    rng = np.random.RandomState(0)
+    mels = rng.uniform(0.2, 0.8, (1, dsp.num_mels, args.frames)).astype(np.float32)
+    audio_seconds = (args.frames - 1) * dsp.hop_length / dsp.sample_rate
+
+    n_all = len(jax.devices())
+    sizes = sorted({1, 2, n_all} & set(range(1, n_all + 1)))
+    results = {}
+    for n in sizes:
+        mesh = make_mesh(n_data=n, devices=jax.devices()[:n])
+        run = lambda k: generate_sharded(params, mels, voc, dsp,
+                                         jax.random.PRNGKey(k), mesh=mesh,
+                                         target=args.target,
+                                         overlap=args.overlap,
+                                         use_pallas=not args.cpu)
+        run(0)  # compile
+        ts = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            run(i + 1)
+            ts.append(time.perf_counter() - t0)
+        dt = float(np.median(ts))
+        results[n] = audio_seconds / dt
+        print(f"{n} device(s): {dt*1e3:.0f} ms -> "
+              f"{results[n]:.1f} audio-s/s", file=sys.stderr)
+
+    base = results[1]
+    eff = {n: results[n] / (n * base) for n in results}
+    largest = max(results)
+    print(json.dumps({
+        "metric": f"gen_audio_seconds_per_s_{largest}dev",
+        "value": round(results[largest], 2),
+        "unit": "audio-s/s",
+        "vs_baseline": round(results[largest] / 5.0, 2),  # 5x RT target
+        "per_device": {str(n): round(v, 2) for n, v in results.items()},
+        "scaling_efficiency": {str(n): round(e, 3) for n, e in eff.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()
