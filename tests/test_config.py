@@ -1,0 +1,53 @@
+import math
+
+import pytest
+
+from wavernn_tpu.config import Config, WaveRNNConfig
+
+
+def test_defaults_match_reference_hparams():
+    cfg = Config()
+    assert cfg.dsp.sample_rate == 22050
+    assert cfg.dsp.n_fft == 2048 and cfg.dsp.fft_bins == 1025
+    assert cfg.dsp.hop_length == 275 and cfg.dsp.win_length == 1100
+    assert cfg.voc.mode == "MOL" and cfg.voc.n_classes(cfg.dsp.bits) == 30
+    assert WaveRNNConfig(mode="RAW").n_classes(9) == 512
+    assert math.prod(cfg.voc.upsample_factors) == cfg.dsp.hop_length
+    assert cfg.voc_train.seq_len == 275 * 5
+    assert cfg.tts_train.schedule[0] == (7, 1e-3, 10_000, 32)
+    assert cfg.tts.stop_threshold == -3.4
+
+
+def test_invalid_upsample_factors_rejected():
+    with pytest.raises(ValueError, match="factorise"):
+        Config(voc=WaveRNNConfig(upsample_factors=(5, 5, 10)))
+
+
+def test_load_reference_root_hparams():
+    cfg = Config.from_hparams_file("/root/reference/hparams.py")
+    assert cfg.voc_model_id == "ljspeech_mol"
+    assert cfg.tts_model_id == "ljspeech_lsa_smooth_attention"
+    assert cfg.voc.target == 11_000 and cfg.voc.overlap == 550
+    assert cfg.tts.mode == "teacher_forcing"  # root file lacks `mode`
+
+
+@pytest.mark.parametrize("name,mode", [
+    ("hparams_gold.py", "teacher_forcing"),
+    ("hparams_af_offline.py", "attention_forcing_offline"),
+    ("hparams_af_online_kl_tune.py", "attention_forcing_online"),
+])
+def test_load_fork_experiment_hparams(name, mode):
+    """The fork's per-experiment files load with their extras intact
+    (scripts/hparams_*.py)."""
+    import os
+    path = f"/root/reference/scripts/{name}"
+    if not os.path.exists(path):
+        pytest.skip("reference not available")
+    cfg = Config.from_hparams_file(path)
+    assert cfg.tts.mode == mode
+    if mode != "teacher_forcing":
+        assert cfg.tts_train.attn_loss_coeff is not None
+    if mode == "attention_forcing_online":
+        assert cfg.tts_train.model_tf_path
+    if mode == "attention_forcing_offline":
+        assert cfg.tts_train.attn_ref_path
