@@ -30,7 +30,7 @@ def main():
     voc = WaveRNNConfig(mode="MOL")
     params = wr.init_wavernn(jax.random.PRNGKey(1), voc, dsp)
 
-    frames = 1345  # ~16.8 s of audio -> 32 folds at target=11000/overlap=550
+    frames = 5377  # ~67 s of audio -> 128 folds at target=11000/overlap=550
     rng = np.random.RandomState(0)
     mels = rng.uniform(0.2, 0.8, (1, dsp.num_mels, frames)).astype(np.float32)
     wave_len = (frames - 1) * dsp.hop_length

@@ -241,7 +241,7 @@ def generate(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
     """
     import numpy as np
 
-    from ..dsp.audio import decode_mu_law
+    from ..compat import native
     from ..ops import fold as F
     from ..ops.sample_loop import generate_scan
 
@@ -269,14 +269,13 @@ def generate(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
     output = np.asarray(samples, dtype=np.float64)
 
     if mu_law:
-        output = decode_mu_law(output, voc.n_classes(dsp.bits), False)
+        output = native.decode_mu_law_inplace(output, voc.n_classes(dsp.bits))
 
     if batched:
-        output = F.xfade_and_unfold(output, target, overlap)
+        output = native.xfade_and_unfold(output, target, overlap)
     else:
         output = output[0]
 
     output = output[:wave_len]
-    fade_out = np.linspace(1, 0, 20 * dsp.hop_length)
-    output[-20 * dsp.hop_length:] *= fade_out[: len(output[-20 * dsp.hop_length:])]
+    output = native.tail_fade_inplace(output, 20 * dsp.hop_length)
     return output
