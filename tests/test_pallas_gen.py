@@ -57,3 +57,21 @@ def test_pallas_raw_valid_samples(rng):
     idx = (got + 1.0) * (2 ** DSP.bits - 1) / 2.0
     np.testing.assert_allclose(idx, np.round(idx), atol=1e-3)
     assert np.unique(np.round(idx)).size > 10  # actually random
+
+
+def test_pallas_v2_matches_scan_mol(rng):
+    from wavernn_tpu.ops.pallas_gen2 import generate_pallas_v2
+    voc = _cfg("MOL")
+    params = wr.init_wavernn(jax.random.PRNGKey(1), voc, DSP)
+    B, T = 4, 150
+    mels_up = jnp.asarray(rng.randn(B, T, DSP.num_mels).astype(np.float32)) * 0.3
+    aux = jnp.asarray(rng.randn(B, T, voc.res_out_dims).astype(np.float32)) * 0.3
+    u_mix = jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (T, B, 10)).astype(np.float32))
+    u_s = jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (T, B)).astype(np.float32))
+    want = np.asarray(generate_scan(params, mels_up, aux, voc, DSP.bits,
+                                    jax.random.PRNGKey(0), noise=(u_mix, u_s)))
+    got = np.asarray(generate_pallas_v2(
+        params, mels_up, aux, voc, DSP.bits, jax.random.PRNGKey(0),
+        noise=(u_mix, u_s), chunk=50, compute_dtype=jnp.float32,
+        stream_dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-4)

@@ -149,7 +149,7 @@ def _make_kernel(voc: WaveRNNConfig, bits: int, chunk: int, n_mels: int,
 @partial(jax.jit,
          static_argnames=("voc", "bits", "chunk", "compute_dtype", "interpret"))
 def generate_pallas(params, mels_up, aux, voc: WaveRNNConfig, bits: int, key,
-                    noise=None, chunk: int = 256,
+                    noise=None, chunk: int = 128,
                     compute_dtype=jnp.bfloat16, interpret: bool = False):
     """Run the persistent-weights sample loop. Mirrors generate_scan's API.
 
