@@ -26,9 +26,13 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
+    from ..parallel.mesh import initialize_distributed
+    initialize_distributed()  # multi-host no-op when single process
     cfg = load_config(args.hp_file)
     if cfg.random_seed is not None:
         args.seed = cfg.random_seed
+        from ..utils.seeding import set_global_seeds
+        set_global_seeds(cfg.random_seed)
     ws = make_workspace(cfg)
 
     state = tt.create_train_state(jax.random.PRNGKey(args.seed), cfg.tts,
@@ -78,6 +82,10 @@ def main(argv=None):
             idx = list(ids).index(ex)
             save_attention(np.asarray(metrics["attn"])[idx],
                            ws.tts_attention / f"{int(st.step)}")
+            from ..utils.display import save_spectrogram
+            if "mel" in metrics:
+                save_spectrogram(np.asarray(metrics["mel"])[idx],
+                                 ws.tts_mel_plot / f"{int(st.step)}")
 
     tt.train_loop(cfg, ws, state, make_dataset,
                   teacher_params=teacher_params,

@@ -29,6 +29,8 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
+    from ..parallel.mesh import initialize_distributed
+    initialize_distributed()  # multi-host no-op when single process
     cfg = load_config(args.hp_file)
     lr = args.lr or cfg.voc_train.lr
     batch_size = args.batch_size or cfg.voc_train.batch_size

@@ -57,7 +57,18 @@ def replicate(mesh: Mesh, tree):
 def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None):
-    """Multi-host bring-up (jax.distributed).  No-op when single-process."""
+    """Multi-host bring-up (jax.distributed).  No-op when single-process.
+
+    Reads JAX_COORDINATOR / JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars
+    (set by scripts/submit.sh) when arguments are omitted.
+    """
+    import os
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR")
+    if num_processes is None:
+        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if process_id is None:
+        process_id = int(os.environ.get("JAX_PROCESS_ID", "0"))
     if num_processes is None or num_processes <= 1:
         return
     jax.distributed.initialize(coordinator_address=coordinator_address,
