@@ -1,7 +1,6 @@
 """Shared CLI plumbing: config loading, workspace, checkpoint/weights I/O."""
 from __future__ import annotations
 
-import os
 from pathlib import Path
 
 import jax

@@ -8,8 +8,6 @@ can inject the exact noise used by a reference run (torch's internal
 from __future__ import annotations
 
 import math
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

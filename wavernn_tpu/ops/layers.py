@@ -19,7 +19,7 @@ from-scratch training behaves like the reference.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
