@@ -70,7 +70,7 @@ def load_tree(path, like=None):
 # -------------------------------------------------------------------------
 
 def save_checkpoint(model_name: str, workspace, params, opt_state, step: int,
-                    name: Optional[str] = None, log=print):
+                    name: Optional[str] = None, log=print, extra_meta=None):
     """Save latest (always) and optionally a named snapshot
     (checkpoints.py:29-76)."""
     if model_name == "voc":
@@ -85,6 +85,8 @@ def save_checkpoint(model_name: str, workspace, params, opt_state, step: int,
         raise ValueError(model_name)
 
     meta = {"step": np.asarray(step)}
+    if extra_meta:
+        meta.update({k: np.asarray(v) for k, v in extra_meta.items()})
     save_tree(w_path, {"params": params, "meta": meta})
     save_tree(o_path, {"opt": opt_state})
     if name is not None:

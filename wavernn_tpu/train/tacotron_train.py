@@ -188,7 +188,8 @@ def train_loop(cfg: Config, workspace, state: TTSTrainState,
                 if step % cfg.tts_train.checkpoint_every == 0:
                     save_checkpoint("tts", workspace, state.params,
                                     state.opt_state, step,
-                                    name=f"taco_step{step // 1000}K", log=log)
+                                    name=f"taco_step{step // 1000}K", log=log,
+                                    extra_meta={"r": r})
                     if on_checkpoint is not None:
                         on_checkpoint(state, metrics, ids)
                 if step >= max_step or (max_steps is not None
@@ -198,7 +199,7 @@ def train_loop(cfg: Config, workspace, state: TTSTrainState,
                 continue
             break
         save_checkpoint("tts", workspace, state.params, state.opt_state,
-                        int(state.step), log=log)
+                        int(state.step), log=log, extra_meta={"r": r})
         msg = f"| Session {session_idx} done | loss {float(metrics['loss']):.4f} | step {int(state.step)} |"
         log(msg)
         with open(workspace.tts_log, "a") as f:
