@@ -81,3 +81,32 @@ def test_seam_sharded_runs_on_mesh(rng):
     wav_xf = generate_sharded(params, mels, VOC, DSP, jax.random.PRNGKey(0),
                               mesh=mesh, target=1100, overlap=275)
     assert wav_xf.shape == wav.shape
+
+
+def test_pallas_state_kernel_matches_scan_state(rng):
+    """State-I/O kernel (interpret) vs generate_scan_with_state: same
+    samples, same boundary snapshot, honors init_state."""
+    import jax.numpy as jnp
+    from wavernn_tpu.ops.pallas_gen import generate_pallas_with_state
+    from wavernn_tpu.ops.sample_loop import generate_scan_with_state
+    params = wr.init_wavernn(jax.random.PRNGKey(0), VOC, DSP)
+    B, T, snap_at = 3, 60, 25
+    mels_up = jnp.asarray(rng.randn(B, T, DSP.num_mels).astype(np.float32)) * 0.3
+    aux = jnp.asarray(rng.randn(B, T, VOC.res_out_dims).astype(np.float32)) * 0.3
+    u_mix = jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (T, B, 10)).astype(np.float32))
+    u_s = jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (T, B)).astype(np.float32))
+    h1 = jnp.asarray(rng.randn(B, VOC.rnn_dims).astype(np.float32)) * 0.1
+    h2 = jnp.asarray(rng.randn(B, VOC.rnn_dims).astype(np.float32)) * 0.1
+    x0 = jnp.asarray(rng.uniform(-1, 1, (B,)).astype(np.float32))
+
+    want, want_snap = generate_scan_with_state(
+        params, mels_up, aux, VOC, DSP.bits, jax.random.PRNGKey(0),
+        noise=(u_mix, u_s), init_state=(h1, h2, x0),
+        state_snapshot_at=snap_at)
+    got, got_snap = generate_pallas_with_state(
+        params, mels_up, aux, VOC, DSP.bits, jax.random.PRNGKey(0),
+        noise=(u_mix, u_s), chunk=20, compute_dtype=jnp.float32,
+        interpret=True, init_state=(h1, h2, x0), state_snapshot_at=snap_at)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+    for a, b in zip(got_snap, want_snap):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

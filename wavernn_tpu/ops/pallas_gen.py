@@ -49,7 +49,8 @@ def _dot(a, w):
 
 
 def _make_kernel(voc: WaveRNNConfig, bits: int, chunk: int, n_mels: int,
-                 mol: bool, use_prng: bool):
+                 mol: bool, use_prng: bool, with_state: bool = False,
+                 snapshot_at=None):
     R = voc.rnn_dims
     FC = voc.fc_dims
     A = voc.aux_dims
@@ -66,15 +67,30 @@ def _make_kernel(voc: WaveRNNConfig, bits: int, chunk: int, n_mels: int,
                w1x_ref, w1a_ref, b1_ref,
                w2x_ref, w2a_ref, b2_ref,
                w3_ref, b3_ref,
-               out_ref,  # (chunk, B)
-               h1_ref, h2_ref, x_ref):  # VMEM scratch
-        step0 = pl.program_id(0) == 0
+               *rest):
+        if with_state:
+            # (h1_0, h2_0, x_0) inputs then (samples, snap_h1, snap_h2,
+            # snap_x) outputs then scratch
+            (h1_0_ref, h2_0_ref, x_0_ref, out_ref, snap_h1_ref, snap_h2_ref,
+             snap_x_ref, h1_ref, h2_ref, x_ref) = rest
+        else:
+            out_ref, h1_ref, h2_ref, x_ref = rest
+        prog = pl.program_id(0)
+        step0 = prog == 0
 
         @pl.when(step0)
         def _():
-            h1_ref[:] = jnp.zeros_like(h1_ref)
-            h2_ref[:] = jnp.zeros_like(h2_ref)
-            x_ref[:] = jnp.zeros_like(x_ref)
+            if with_state:
+                h1_ref[:] = h1_0_ref[:]
+                h2_ref[:] = h2_0_ref[:]
+                x_ref[:] = x_0_ref[:]
+                snap_h1_ref[:] = jnp.zeros_like(snap_h1_ref)
+                snap_h2_ref[:] = jnp.zeros_like(snap_h2_ref)
+                snap_x_ref[:] = jnp.zeros_like(snap_x_ref)
+            else:
+                h1_ref[:] = jnp.zeros_like(h1_ref)
+                h2_ref[:] = jnp.zeros_like(h2_ref)
+                x_ref[:] = jnp.zeros_like(x_ref)
             if use_prng:
                 pltpu.prng_seed(seed_ref[0])
 
@@ -83,6 +99,13 @@ def _make_kernel(voc: WaveRNNConfig, bits: int, chunk: int, n_mels: int,
             x = x_ref[:, 0:1]                         # (B, 1) f32
             h1 = h1_ref[:]
             h2 = h2_ref[:]
+            if with_state and snapshot_at is not None:
+                # record the state *entering* the global snapshot step
+                @pl.when(prog * chunk + i == snapshot_at)
+                def _():
+                    snap_h1_ref[:] = h1_ref[:]
+                    snap_h2_ref[:] = h2_ref[:]
+                    snap_x_ref[:] = x_ref[:]
 
             cdtype = w_Ic_ref.dtype
             inp = (_dot(cond[:, :C_IN].astype(cdtype), w_Ic_ref[:])
@@ -147,6 +170,26 @@ def _make_kernel(voc: WaveRNNConfig, bits: int, chunk: int, n_mels: int,
 
 
 @partial(jax.jit,
+         static_argnames=("voc", "bits", "chunk", "compute_dtype", "interpret",
+                          "state_snapshot_at"))
+def generate_pallas_with_state(params, mels_up, aux, voc: WaveRNNConfig,
+                               bits: int, key, noise=None, chunk: int = 128,
+                               compute_dtype=jnp.bfloat16,
+                               interpret: bool = False, init_state=None,
+                               state_snapshot_at: int = 0):
+    """Sample-loop kernel with RNN-state I/O (exact-seam fold handoff).
+
+    init_state: optional (h1, h2, x) with x shape (B,) to resume from.
+    Returns (samples (B, T), (snap_h1, snap_h2, snap_x)) where the snapshot
+    is the state entering global step ``state_snapshot_at``.
+    """
+    return _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise,
+                                 chunk, compute_dtype, interpret,
+                                 with_state=True, init_state=init_state,
+                                 state_snapshot_at=state_snapshot_at)
+
+
+@partial(jax.jit,
          static_argnames=("voc", "bits", "chunk", "compute_dtype", "interpret"))
 def generate_pallas(params, mels_up, aux, voc: WaveRNNConfig, bits: int, key,
                     noise=None, chunk: int = 128,
@@ -156,6 +199,15 @@ def generate_pallas(params, mels_up, aux, voc: WaveRNNConfig, bits: int, key,
     mels_up: (B, T, n_mels); aux: (B, T, 4*aux_dims).
     Returns samples (B, T) float32.
     """
+    return _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise,
+                                 chunk, compute_dtype, interpret,
+                                 with_state=False, init_state=None,
+                                 state_snapshot_at=None)
+
+
+def _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise, chunk,
+                          compute_dtype, interpret, with_state, init_state,
+                          state_snapshot_at):
     B, T, n_mels = mels_up.shape
     R, FC, A = voc.rnn_dims, voc.fc_dims, voc.aux_dims
     n_classes = voc.n_classes(bits)
@@ -240,14 +292,58 @@ def generate_pallas(params, mels_up, aux, voc: WaveRNNConfig, bits: int, key,
         ],
     )
 
-    kernel = _make_kernel(voc, bits, chunk, n_mels, mol, use_prng)
-    out = pl.pallas_call(
+    if not with_state:
+        kernel = _make_kernel(voc, bits, chunk, n_mels, mol, use_prng)
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((T_pad, B), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(seed, cond, u_mix, u_s, *weights)
+        return jnp.swapaxes(out, 0, 1)[:, :T]
+
+    # state-I/O variant: extra (h1_0, h2_0, x_0) inputs + snapshot outputs
+    if init_state is None:
+        h1_0 = jnp.zeros((B, R), jnp.float32)
+        h2_0 = jnp.zeros((B, R), jnp.float32)
+        x_0 = jnp.zeros((B,), jnp.float32)
+    else:
+        h1_0, h2_0, x_0 = init_state
+    x_0_pad = jnp.zeros((B, 128), jnp.float32).at[:, 0].set(x_0)
+
+    state_specs = [const_spec((B, R)), const_spec((B, R)),
+                   const_spec((B, 128))]
+    out_specs = (
+        pl.BlockSpec((chunk, B), lambda t, s: (t, 0),
+                     memory_space=pltpu.VMEM),
+        const_spec((B, R)), const_spec((B, R)), const_spec((B, 128)),
+    )
+    grid_spec_state = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_grid,),
+        in_specs=in_specs + state_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((B, R), jnp.float32),
+            pltpu.VMEM((B, R), jnp.float32),
+            pltpu.VMEM((B, 128), jnp.float32),
+        ],
+    )
+    kernel = _make_kernel(voc, bits, chunk, n_mels, mol, use_prng,
+                          with_state=True, snapshot_at=state_snapshot_at)
+    out, s_h1, s_h2, s_x = pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T_pad, B), jnp.float32),
+        grid_spec=grid_spec_state,
+        out_shape=(
+            jax.ShapeDtypeStruct((T_pad, B), jnp.float32),
+            jax.ShapeDtypeStruct((B, R), jnp.float32),
+            jax.ShapeDtypeStruct((B, R), jnp.float32),
+            jax.ShapeDtypeStruct((B, 128), jnp.float32),
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(seed, cond, u_mix, u_s, *weights)
-
-    return jnp.swapaxes(out, 0, 1)[:, :T]
+    )(seed, cond, u_mix, u_s, *weights, h1_0, h2_0, x_0_pad)
+    return (jnp.swapaxes(out, 0, 1)[:, :T], (s_h1, s_h2, s_x[:, 0]))

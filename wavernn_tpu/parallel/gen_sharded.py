@@ -31,10 +31,11 @@ from ..ops.sample_loop import generate_scan_with_state
 
 
 @partial(jax.jit, static_argnames=("voc", "bits", "target", "overlap",
-                                   "seam_passes"))
+                                   "seam_passes", "use_pallas"))
 def generate_exact_seam(params, mels_up, aux, voc: WaveRNNConfig, bits: int,
                         key, target: int, overlap: int,
-                        seam_passes: int = 2, noise=None):
+                        seam_passes: int = 2, noise=None,
+                        use_pallas: bool = False):
     """Folded generation with state handoff. mels_up/aux: folded (B, L, ·)
     with L = target + 2*overlap.  Returns (samples (B, L), per-pass seam
     error) — concatenate with `concat_folds`.
@@ -51,6 +52,11 @@ def generate_exact_seam(params, mels_up, aux, voc: WaveRNNConfig, bits: int,
                                     maxval=1.0 - 1e-5))
 
     def one_pass(init_state):
+        if use_pallas:
+            from ..ops.pallas_gen import generate_pallas_with_state
+            return generate_pallas_with_state(
+                params, mels_up, aux, voc, bits, key, noise=noise,
+                init_state=init_state, state_snapshot_at=boundary)
         samples, snap = generate_scan_with_state(
             params, mels_up, aux, voc, bits, key, noise=noise,
             init_state=init_state, state_snapshot_at=boundary)
@@ -120,7 +126,8 @@ def generate_sharded(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
 
     if seam_passes > 0:
         samples, _ = generate_exact_seam(params, mels_up, aux, voc, dsp.bits,
-                                         key, target, overlap, seam_passes)
+                                         key, target, overlap, seam_passes,
+                                         use_pallas=use_pallas)
         return np.asarray(concat_folds(samples, target, overlap, wave_len))
 
     if use_pallas:
