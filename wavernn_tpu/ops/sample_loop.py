@@ -55,8 +55,9 @@ def _split_cond(params, mels_up, aux, voc: WaveRNNConfig, dtype=None):
 
 def _gru_gates(gi, gh, h):
     H = h.shape[-1]
-    r = jax.nn.sigmoid(gi[..., :H] + gh[..., :H])
-    z = jax.nn.sigmoid(gi[..., H:2 * H] + gh[..., H:2 * H])
+    # sigmoid(x) == 0.5*tanh(x/2)+0.5 — matches the pallas kernel exactly
+    r = 0.5 * jnp.tanh(0.5 * (gi[..., :H] + gh[..., :H])) + 0.5
+    z = 0.5 * jnp.tanh(0.5 * (gi[..., H:2 * H] + gh[..., H:2 * H])) + 0.5
     n = jnp.tanh(gi[..., 2 * H:] + r * gh[..., 2 * H:])
     return (1.0 - z) * n + z * h
 
