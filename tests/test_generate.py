@@ -180,3 +180,20 @@ def test_generate_batched_runs(rng):
     assert wav.shape == ((frames - 1) * DSP.hop_length,)
     # equal-power crossfade of two [-1,1] streams is bounded by sqrt(2)
     assert np.abs(wav).max() <= np.sqrt(2.0)
+
+
+def test_generate_multi_batches_utterances(rng):
+    """Serving path: several utterances vocoded in one kernel batch."""
+    voc = _small_cfg("MOL")
+    params = wr.init_wavernn(jax.random.PRNGKey(3), voc, DSP)
+    mels_list = [
+        rng.uniform(0, 1, (DSP.num_mels, f)).astype(np.float32)
+        for f in (30, 45, 24)
+    ]
+    outs = wr.generate_multi(params, mels_list, voc, DSP,
+                             jax.random.PRNGKey(0), target=2200, overlap=550,
+                             use_pallas=False)
+    assert len(outs) == 3
+    for mel, wav in zip(mels_list, outs):
+        assert wav.shape == ((mel.shape[1] - 1) * DSP.hop_length,)
+        assert np.isfinite(wav).all()

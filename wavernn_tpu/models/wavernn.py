@@ -230,6 +230,62 @@ def generate_fast(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
                                 target, overlap, mu_law, use_pallas)
 
 
+def generate_multi(params, mels_list, voc: WaveRNNConfig, dsp: DSPConfig,
+                   key, target: Optional[int] = None,
+                   overlap: Optional[int] = None, mu_law: bool = True,
+                   use_pallas: bool = True):
+    """Serving path: vocode a BATCH of utterances in one sample-loop launch.
+
+    Each utterance is folded (fatchord batched-generation semantics); all
+    fold batches share the same (target + 2*overlap) length, so they
+    concatenate into one kernel batch.  Returns a list of float64 waveforms.
+    """
+    import numpy as np
+
+    from ..compat import native
+    from ..ops import fold as F
+    from ..ops.sample_loop import generate_scan
+
+    target = voc.target if target is None else target
+    overlap = voc.overlap if overlap is None else overlap
+    mu_law = mu_law if voc.mode == "RAW" else False
+
+    fold_m, fold_a, counts, wave_lens = [], [], [], []
+    for mels in mels_list:
+        mels = jnp.asarray(mels)
+        if mels.ndim == 2:
+            mels = mels[None]
+        wave_lens.append((mels.shape[-1] - 1) * dsp.hop_length)
+        mels = jnp.pad(mels, ((0, 0), (0, 0), (voc.pad, voc.pad)))
+        mu, au, _ = upsample_apply(params["upsample"], mels, voc,
+                                   training=False)
+        mf = F.fold_with_overlap(mu, target, overlap)
+        af = F.fold_with_overlap(au, target, overlap)
+        fold_m.append(mf)
+        fold_a.append(af)
+        counts.append(mf.shape[0])
+
+    mf = jnp.concatenate(fold_m, axis=0)
+    af = jnp.concatenate(fold_a, axis=0)
+    if use_pallas:
+        from ..ops.pallas_gen import generate_pallas
+        samples = generate_pallas(params, mf, af, voc, dsp.bits, key)
+    else:
+        samples = generate_scan(params, mf, af, voc, dsp.bits, key)
+    samples = np.asarray(samples, dtype=np.float64)
+
+    outs = []
+    offset = 0
+    for count, wave_len in zip(counts, wave_lens):
+        y = samples[offset:offset + count]
+        offset += count
+        if mu_law:
+            y = native.decode_mu_law_inplace(y, voc.n_classes(dsp.bits))
+        wav = native.xfade_and_unfold(y, target, overlap)[:wave_len]
+        outs.append(native.tail_fade_inplace(wav, 20 * dsp.hop_length))
+    return outs
+
+
 def generate(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
              batched: bool = True, target: Optional[int] = None,
              overlap: Optional[int] = None, mu_law: bool = True,

@@ -11,7 +11,7 @@ inside ONE kernel launch:
     sampling noise are streamed from HBM in CHUNK-step blocks via the
     sequential pallas grid — Mosaic double-buffers the block DMAs behind
     compute;
-  * GRU/LSTM state persists in VMEM scratch across grid steps;
+  * GRU state persists in VMEM scratch across grid steps;
   * MOL sampling (Gumbel mixture pick + inverse-CDF logistic) executes on
     the VPU in-kernel; RAW mode draws Gumbel noise from the on-core PRNG.
 
@@ -267,7 +267,6 @@ def _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise, chunk,
     ]
 
     n_grid = T_pad // chunk
-    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
     def const_spec(shape):
         return pl.BlockSpec(shape, lambda t, s: (0,) * len(shape),
