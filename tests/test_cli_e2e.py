@@ -126,3 +126,44 @@ def test_gen_tacotron_wavernn_cli(project):
     outs = list((root / "model_outputs" / "test_tts.tacotron").glob(
         "*wavernn*.wav"))
     assert len(outs) >= 1
+
+
+def test_af_offline_pipeline_cli(project):
+    """The fork's AF-offline flow: export attn refs with the TF model, then
+    train in attention_forcing_offline mode from them."""
+    root, hp = project
+    # export attention refs
+    from wavernn_tpu.cli.train_tacotron import main
+    main(["--hp_file", hp, "--force_attn"])
+    refs = list((root / "data" / "attn_test_tts").glob("*.npy"))
+    assert len(refs) == 24
+
+    # derive an AF-offline hparams file from the TF one
+    hp_af = root / "hparams_af.py"
+    hp_af.write_text((root / "hparams_test.py").read_text().replace(
+        "mode = 'teacher_forcing'",
+        "mode = 'attention_forcing_offline'\n"
+        "attn_ref_path = 'attn_test_tts'\n"
+        "attn_loss_coeff = 1.0\n"
+        "tts_model_id = 'test_tts_af'"))
+    main(["--hp_file", str(hp_af)])
+    assert (root / "checkpoints" / "test_tts_af.tacotron"
+            / "latest_weights.npz").exists()
+
+
+def test_af_online_pipeline_cli(project):
+    """AF-online flow: frozen TF teacher checkpoint drives attention refs."""
+    root, hp = project
+    teacher = root / "checkpoints" / "test_tts.tacotron" / "latest_weights.npz"
+    assert teacher.exists()
+    hp_af = root / "hparams_af_online.py"
+    hp_af.write_text((root / "hparams_test.py").read_text().replace(
+        "mode = 'teacher_forcing'",
+        "mode = 'attention_forcing_online'\n"
+        f"model_tf_path = {str(teacher)!r}\n"
+        "attn_loss_coeff = 1.0\n"
+        "tts_model_id = 'test_tts_afon'"))
+    from wavernn_tpu.cli.train_tacotron import main
+    main(["--hp_file", str(hp_af)])
+    assert (root / "checkpoints" / "test_tts_afon.tacotron"
+            / "latest_weights.npz").exists()
