@@ -130,3 +130,28 @@ def test_generate_stops_and_shapes(rng):
     assert mel.shape[1] <= 40 and mel.shape[1] % 2 == 0
     assert linear.shape == mel.shape
     assert attn.shape == (mel.shape[1] // 2, 7)
+
+
+def test_generate_batch(rng):
+    tts = SMALL
+    params = taco.init_tacotron(jax.random.PRNGKey(0), tts, N_MELS, 148)
+    sentences = [rng.randint(1, 148, (n,)) for n in (5, 9, 7)]
+    outs = taco.generate_batch(params, sentences, tts, r=2, steps=30)
+    assert len(outs) == 3
+    for x, (mel, lin, attn) in zip(sentences, outs):
+        assert mel.shape[0] == N_MELS and mel.shape[1] <= 30
+        assert lin.shape == mel.shape
+        assert attn.shape == (mel.shape[1] // 2, len(x))
+
+
+def test_generate_batch_matches_single(rng):
+    """Padding + per-element stop masks must not change a single utterance's
+    output (modulo identical PRNG stream)."""
+    tts = SMALL
+    params = taco.init_tacotron(jax.random.PRNGKey(0), tts, N_MELS, 148)
+    x = rng.randint(1, 148, (8,))
+    single = taco.generate(params, x, tts, r=2, steps=20,
+                           key=jax.random.PRNGKey(5))
+    batched = taco.generate_batch(params, [x], tts, r=2, steps=20,
+                                  key=jax.random.PRNGKey(5))[0]
+    np.testing.assert_allclose(batched[0], single[0], atol=1e-5)

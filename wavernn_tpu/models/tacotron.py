@@ -373,24 +373,29 @@ def _generate_scan(params, x_ids, tts: TacotronConfig, r: int, steps: int,
     step_keys = jax.random.split(k_dec, n_groups)
 
     def step(carry, k):
-        state, stopped, t = carry
+        state, stopped, t = carry  # stopped: (B,) per-utterance masks
         mels, scores, new_state = decoder_step(
             dec, encoder_seq, encoder_seq_proj, state.prev_frame, state, tts,
             r, n_mels, k, False)
-        # stop when every value of the group is silent (tacotron.py:461)
-        hit = jnp.logical_and(jnp.all(mels < tts.stop_threshold), t > 10)
+        # per-utterance stop when every value of its group is silent
+        # (tacotron.py:461; the reference is batch=1 — batching generalizes
+        # the loop break to a per-element freeze mask)
+        hit = jnp.logical_and(jnp.all(mels < tts.stop_threshold, axis=(1, 2)),
+                              t > 10)
         stopped_now = jnp.logical_or(stopped, hit)
-        # freeze the state once stopped so trailing groups repeat silence
+        # freeze finished utterances so trailing groups repeat silence
         state = jax.tree_util.tree_map(
-            lambda old, new: jnp.where(stopped, old, new), state, new_state)
+            lambda old, new: jnp.where(
+                stopped.reshape((-1,) + (1,) * (new.ndim - 1)), old, new),
+            state, new_state)
         return (state, stopped_now, t + r), (mels, scores, stopped)
 
     (_, _, _), (mel_groups, attn_scores, stopped_before) = jax.lax.scan(
-        step, (state0, jnp.asarray(False), jnp.asarray(0)), step_keys)
+        step, (state0, jnp.zeros((B,), bool), jnp.asarray(0)), step_keys)
 
     mel_out = jnp.moveaxis(mel_groups, 0, 2).reshape(B, n_mels, steps)
     attn = jnp.swapaxes(attn_scores, 0, 1)
-    n_valid_groups = jnp.sum(~stopped_before)
+    n_valid_groups = jnp.sum(~stopped_before, axis=0)  # (B,)
 
     postnet_out, _ = cbhg_apply(params["postnet"], mel_out, False)
     linear = L.linear(params["post_proj"], postnet_out)
@@ -409,7 +414,31 @@ def generate(params, x_ids, tts: TacotronConfig, r: int, n_mels: int = 80,
     steps = -(-steps // r) * r
     mel, linear, attn, n_valid = _generate_scan(params, x, tts, r, steps,
                                                 n_mels, key)
-    n = int(n_valid)  # groups up to and including the stop trigger
+    n = int(n_valid[0])  # groups up to and including the stop trigger
     T = min(n * r, steps)
     return (np.asarray(mel[0, :, :T]), np.asarray(linear[0, :, :T]),
             np.asarray(attn[0, : T // r]))
+
+
+def generate_batch(params, x_ids_list, tts: TacotronConfig, r: int,
+                   n_mels: int = 80, steps: int = 2000, key=None):
+    """Serving path: free-running decode for a BATCH of sentences in one
+    compiled scan (pad-to-max text lengths; per-utterance stop masks).
+
+    Returns a list of (mel, linear, attn) numpy triples, each trimmed to
+    its own stop step.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    max_len = max(len(x) for x in x_ids_list)
+    x = jnp.asarray(np.stack([np.pad(np.asarray(xi), (0, max_len - len(xi)))
+                              for xi in x_ids_list]))
+    steps = -(-steps // r) * r
+    mel, linear, attn, n_valid = _generate_scan(params, x, tts, r, steps,
+                                                n_mels, key)
+    outs = []
+    for b in range(len(x_ids_list)):
+        T = min(int(n_valid[b]) * r, steps)
+        outs.append((np.asarray(mel[b, :, :T]), np.asarray(linear[b, :, :T]),
+                     np.asarray(attn[b, : T // r, : len(x_ids_list[b])])))
+    return outs
