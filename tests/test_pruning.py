@@ -87,3 +87,27 @@ def test_pruned_model_still_generates(rng):
     s = generate_scan(pruned, mels_up, aux, VOC, DSP.bits,
                       jax.random.PRNGKey(0))
     assert np.isfinite(np.asarray(s)).all()
+
+
+def test_block_structured_mask(rng):
+    W = jnp.asarray(rng.randn(64, 3 * 256).astype(np.float32))
+    M = P.block_mask_from_matrix(W, jnp.asarray(0.5), 3, block=(8, 128))
+    assert M.shape == W.shape
+    # mask is constant within each aligned (8, 128) block of each gate split
+    Ms = np.asarray(M).reshape(64, 3, 256)
+    for g in range(3):
+        blocks = Ms[:, g, :].reshape(8, 8, 2, 128)
+        for i in range(8):
+            for j in range(2):
+                vals = np.unique(blocks[i, :, j, :])
+                assert vals.size == 1, (i, j, vals)
+    # per-split sparsity near the target
+    for g in range(3):
+        frac = 1 - Ms[:, g].mean()
+        assert 0.4 <= frac <= 0.6
+    # kept blocks have larger norms than dropped blocks
+    Wb = np.asarray(W).reshape(64, 3, 256)[:, 0, :].reshape(8, 8, 2, 128)
+    keep = np.asarray(M).reshape(64, 3, 256)[:, 0, :].reshape(8, 8, 2, 128)
+    norms = np.sqrt((Wb ** 2).sum(axis=(1, 3)))
+    kept_mask = keep[:, 0, :, 0] > 0
+    assert norms[kept_mask].min() >= norms[~kept_mask].max() - 1e-6

@@ -87,6 +87,37 @@ def mask_from_matrix(W, z, n_splits: int):
     return jnp.swapaxes(M, 0, 1).reshape(in_dim, out_dim)
 
 
+def block_mask_from_matrix(W, z, n_splits: int, block=(8, 128)):
+    """TPU-structured magnitude pruning: zero whole (sublane x lane)-aligned
+    blocks by block L2 norm, per gate split.
+
+    Unstructured masks (mask_from_matrix) keep the VMEM-resident weights
+    dense-with-zeros in the sample kernel; block-aligned masks make the
+    zero pattern skippable by a block-sparse kernel (SURVEY §7 item 8) and
+    already vectorize cleanly on the VPU.
+    """
+    in_dim, out_dim = W.shape
+    h = out_dim // n_splits
+    br, bc = block
+    assert in_dim % br == 0 and h % bc == 0, (W.shape, block)
+    Ws = W.reshape(in_dim, n_splits, h)
+    # (splits, in/br, br, h/bc, bc) -> block norms (splits, in/br, h/bc)
+    Wb = jnp.swapaxes(Ws, 0, 1).reshape(n_splits, in_dim // br, br,
+                                        h // bc, bc)
+    norms = jnp.sqrt(jnp.sum(Wb * Wb, axis=(2, 4)))
+    flat = norms.reshape(n_splits, -1)
+    nblk = flat.shape[1]
+    k = jnp.clip((nblk * z).astype(jnp.int32), 0, nblk - 1)
+    snorm = jnp.sort(flat, axis=-1)
+    thr = snorm[:, k][:, None] if jnp.ndim(k) == 0 else \
+        jnp.take_along_axis(snorm, k[:, None], axis=-1)
+    keep = (flat >= thr).astype(W.dtype).reshape(n_splits, in_dim // br, 1,
+                                                 h // bc, 1)
+    M = jnp.broadcast_to(keep, (n_splits, in_dim // br, br, h // bc, bc))
+    M = M.reshape(n_splits, in_dim, h)
+    return jnp.swapaxes(M, 0, 1).reshape(in_dim, out_dim)
+
+
 def init_masks(params, spec: PruneSpec):
     return {"/".join(path): jnp.ones_like(_get(params, path))
             for path, _ in spec.entries}
