@@ -11,8 +11,19 @@ Prints ONE JSON line:
   vs_baseline : ratio vs the 110.25 kHz target (5x realtime @ 22.05 kHz,
                 BASELINE.md north star; the reference itself only claims
                 "realtime+" on unspecified GPU hardware)
+plus extra keys computed on the same hardware:
+  parity_ok*        : scan-oracle vs Pallas-kernel waveform parity gates
+                      (MOL / RAW / state-I/O / bf16 weights) — the product
+                      is sample-exact generation (fatchord_version.py:201-241)
+  train_steps_per_s : full-size WaveRNN-MOL training throughput
+                      (bs 32, seq 1375; reference train_wavernn.py:98-162)
+  tts_*             : end-to-end text->mel->wav latency breakdown
+                      (quick_start.py:108-120 path)
+Sections other than the headline metric can be skipped with
+BENCH_SKIP=parity,train,tts for quick runs.
 """
 import json
+import os
 import sys
 import time
 
@@ -25,6 +36,9 @@ def main():
 
     from wavernn_tpu.config import DSPConfig, WaveRNNConfig
     from wavernn_tpu.models import wavernn as wr
+    from wavernn_tpu import benchmarks
+
+    skip = set(filter(None, os.environ.get("BENCH_SKIP", "").split(",")))
 
     dsp = DSPConfig()
     voc = WaveRNNConfig(mode="MOL")
@@ -60,12 +74,19 @@ def main():
     print(f"median {dt*1e3:.0f} ms for {audio_seconds:.1f}s audio "
           f"({rtf:.0f}x realtime)", file=sys.stderr)
 
-    print(json.dumps({
+    result = {
         "metric": "wavernn_mol_batched_gen_rate_per_chip",
         "value": round(gen_rate_khz, 1),
         "unit": "kHz",
         "vs_baseline": round(gen_rate_khz / 110.25, 2),
-    }))
+    }
+    if "parity" not in skip:
+        result.update(benchmarks.parity_checks())
+    if "train" not in skip:
+        result.update(benchmarks.train_bench())
+    if "tts" not in skip:
+        result.update(benchmarks.tts_e2e_bench())
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

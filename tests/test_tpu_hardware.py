@@ -1,0 +1,53 @@
+"""Opt-in hardware tier: Pallas kernel correctness on the live TPU backend.
+
+Run with ``WAVERNN_TPU_TESTS=1 python -m pytest tests -m tpu``. These are
+the checks interpret-mode CPU parity cannot cover — Mosaic lowering of the
+real kernel (the round-1 bf16 `vector.broadcast` verifier bug is exactly
+this class). bench.py embeds the same gates so every driver bench run
+records them in BENCH_r{N}.json.
+"""
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+
+@pytest.fixture(scope="module")
+def tpu_backend():
+    import jax
+    if jax.devices()[0].platform not in ("tpu",):
+        pytest.skip("no TPU backend available")
+    return jax.devices()[0]
+
+
+def test_kernel_parity_on_hardware(tpu_backend):
+    """Scan oracle vs Pallas kernel, identical injected noise, on silicon:
+    MOL f32, RAW f32, state-I/O snapshot+resume, bf16-weights agreement."""
+    from wavernn_tpu.benchmarks import parity_checks
+
+    out = parity_checks(B=8, T=512)
+    assert out["parity_ok_mol"], out
+    assert out["parity_ok_raw"], out
+    assert out["parity_ok_state"], out
+    assert out["parity_ok_mol_bf16"], out
+
+
+def test_generate_fast_waveform_sane_on_hardware(tpu_backend):
+    """End-to-end generate_fast on the chip produces a bounded, non-trivial
+    waveform (the round-1 bench asserted only shape)."""
+    import jax
+
+    from wavernn_tpu.config import Config
+    from wavernn_tpu.models import wavernn as wr
+
+    cfg = Config()
+    params = wr.init_wavernn(jax.random.PRNGKey(1), cfg.voc, cfg.dsp)
+    rng = np.random.RandomState(0)
+    frames = 200
+    mels = rng.uniform(0.2, 0.8, (1, cfg.dsp.num_mels, frames)).astype(np.float32)
+    wav = np.asarray(wr.generate_fast(params, mels, cfg.voc, cfg.dsp,
+                                      jax.random.PRNGKey(0)))
+    assert wav.shape == ((frames - 1) * cfg.dsp.hop_length,)
+    assert np.all(np.isfinite(wav))
+    assert np.abs(wav).max() <= 1.0 + 1e-6
+    assert np.abs(wav).std() > 1e-4  # not silence/constant

@@ -1,0 +1,229 @@
+"""On-hardware correctness gates + secondary benchmarks, embedded in bench.py.
+
+Everything here runs on whatever backend jax selects (the real TPU chip
+under the driver). Timing rule for the axon tunnel: ``block_until_ready``
+may return before remote work completes, so every measurement fences with a
+full ``np.asarray`` host readback.
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+# Hardware parity gate: the scan oracle and the Pallas kernel accumulate
+# matmuls in different orders (XLA vs Mosaic tiling), so f32 results differ
+# at rounding level. If the autoregressive trajectories ever diverged (a
+# different MOL mixture pick), the error would blow up to O(1) within a few
+# steps — observed maxerr ~2.6e-4 over 512 steps means lockstep.
+PARITY_ATOL = 1e-3
+
+
+def _report(name, ok, detail=""):
+    print(f"[{name}] {'OK' if ok else 'FAIL'} {detail}", file=sys.stderr)
+
+
+def parity_checks(B: int = 8, T: int = 512) -> dict:
+    """Scan-oracle vs Pallas-kernel waveform parity with identical injected
+    noise, on the live backend. Covers MOL, RAW, the state-I/O (exact-seam)
+    variant, and the production bf16-weights config.
+
+    Matches the product the reference ships: sample-exact generation
+    (fatchord_version.py:201-241).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .config import DSPConfig, WaveRNNConfig
+    from .models import wavernn as wr
+    from .ops.pallas_gen import generate_pallas, generate_pallas_with_state
+    from .ops.sample_loop import generate_scan, generate_scan_with_state
+
+    dsp = DSPConfig()
+    out = {"platform": jax.devices()[0].platform}
+    rng = np.random.RandomState(0)
+
+    def make_inputs(voc):
+        params = wr.init_wavernn(jax.random.PRNGKey(1), voc, dsp)
+        mels_up = jnp.asarray(
+            rng.randn(B, T, dsp.num_mels).astype(np.float32)) * 0.3
+        aux = jnp.asarray(
+            rng.randn(B, T, voc.res_out_dims).astype(np.float32)) * 0.3
+        return params, mels_up, aux
+
+    # ---- MOL, full-size model, f32 kernel ----
+    voc = WaveRNNConfig(mode="MOL")
+    params, mels_up, aux = make_inputs(voc)
+    nr_mix = voc.n_classes(dsp.bits) // 3
+    u_mix = jnp.asarray(
+        rng.uniform(1e-5, 1 - 1e-5, (T, B, nr_mix)).astype(np.float32))
+    u_s = jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (T, B)).astype(np.float32))
+    want = np.asarray(generate_scan(params, mels_up, aux, voc, dsp.bits,
+                                    jax.random.PRNGKey(0), noise=(u_mix, u_s)))
+    got = np.asarray(generate_pallas(params, mels_up, aux, voc, dsp.bits,
+                                     jax.random.PRNGKey(0), noise=(u_mix, u_s),
+                                     chunk=128, compute_dtype=jnp.float32))
+    err = float(np.max(np.abs(got - want)))
+    out["parity_mol_f32_maxerr"] = err
+    out["parity_ok_mol"] = bool(err < PARITY_ATOL)
+    _report("MOL f32", out["parity_ok_mol"], f"maxerr={err:.2e}")
+
+    # ---- MOL, bf16 weights (production config) ----
+    try:
+        got16 = np.asarray(generate_pallas(
+            params, mels_up, aux, voc, dsp.bits, jax.random.PRNGKey(0),
+            noise=(u_mix, u_s), chunk=128, compute_dtype=jnp.bfloat16))
+        # bf16 matmuls perturb logits -> an occasional different mixture
+        # pick is legitimate; gate on trajectory agreement rate.
+        agree = float(np.mean(np.isclose(got16, want, atol=2e-2)))
+        out["parity_mol_bf16_agree"] = agree
+        out["parity_ok_mol_bf16"] = bool(agree > 0.95)
+        _report("MOL bf16-weights", out["parity_ok_mol_bf16"],
+                f"agree={agree:.4f}")
+    except Exception as e:  # noqa: BLE001 — reported, not gated
+        out["parity_ok_mol_bf16"] = False
+        out["parity_mol_bf16_error"] = repr(e)[:200]
+        _report("MOL bf16-weights", False, repr(e)[:200])
+
+    # ---- RAW ----
+    voc_r = WaveRNNConfig(mode="RAW")
+    params_r, mels_up_r, aux_r = make_inputs(voc_r)
+    n_classes = voc_r.n_classes(dsp.bits)
+    noise_r = jnp.asarray(
+        rng.uniform(1e-5, 1 - 1e-5, (T, B, n_classes)).astype(np.float32))
+    want_r = np.asarray(generate_scan(params_r, mels_up_r, aux_r, voc_r,
+                                      dsp.bits, jax.random.PRNGKey(0),
+                                      noise=noise_r))
+    got_r = np.asarray(generate_pallas(params_r, mels_up_r, aux_r, voc_r,
+                                       dsp.bits, jax.random.PRNGKey(0),
+                                       noise=noise_r, chunk=128,
+                                       compute_dtype=jnp.float32))
+    err_r = float(np.max(np.abs(got_r - want_r)))
+    out["parity_raw_f32_maxerr"] = err_r
+    out["parity_ok_raw"] = bool(err_r < PARITY_ATOL)
+    _report("RAW f32", out["parity_ok_raw"], f"maxerr={err_r:.2e}")
+
+    # ---- state-I/O variant (exact-seam): snapshot + resume mid-stream ----
+    snap_at = T // 4
+    want_s, snap_ref = generate_scan_with_state(
+        params, mels_up, aux, voc, dsp.bits, jax.random.PRNGKey(0),
+        noise=(u_mix, u_s), state_snapshot_at=snap_at)
+    got_s, snap_pl = generate_pallas_with_state(
+        params, mels_up, aux, voc, dsp.bits, jax.random.PRNGKey(0),
+        noise=(u_mix, u_s), chunk=128, compute_dtype=jnp.float32,
+        state_snapshot_at=snap_at)
+    err_s = float(np.max(np.abs(np.asarray(got_s) - np.asarray(want_s))))
+    err_snap = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+                   for a, b in zip(snap_pl, snap_ref))
+    h1, h2, x0 = snap_pl
+    got_resume, _ = generate_pallas_with_state(
+        params, mels_up[:, snap_at:], aux[:, snap_at:], voc, dsp.bits,
+        jax.random.PRNGKey(0), noise=(u_mix[snap_at:], u_s[snap_at:]),
+        chunk=128, compute_dtype=jnp.float32, init_state=(h1, h2, x0))
+    err_res = float(np.max(np.abs(np.asarray(got_resume)
+                                  - np.asarray(want_s)[:, snap_at:])))
+    out["parity_state_maxerr"] = max(err_s, err_snap, err_res)
+    out["parity_ok_state"] = bool(out["parity_state_maxerr"] < PARITY_ATOL)
+    _report("state-I/O", out["parity_ok_state"],
+            f"maxerr seq={err_s:.2e} snap={err_snap:.2e} resume={err_res:.2e}")
+
+    out["parity_ok"] = bool(out["parity_ok_mol"] and out["parity_ok_raw"]
+                            and out["parity_ok_state"])
+    return out
+
+
+def train_bench(steps: int = 30, batch_size: int = 32) -> dict:
+    """Full-size WaveRNN-MOL training throughput (reference hot path #2,
+    train_wavernn.py:98-162: bs 32, seq_len 1375 = 5*hop).
+
+    Dispatches `steps` steps back-to-back and fences once — measuring the
+    pipelined steady state the async train_loop achieves.
+    """
+    import jax
+
+    from .config import Config
+    from .train import wavernn_train as wt
+
+    cfg = Config()
+    dsp, voc = cfg.dsp, cfg.voc
+    seq_len = cfg.voc_train.seq_len
+    state = wt.create_train_state(jax.random.PRNGKey(0), voc, dsp,
+                                  cfg.voc_train.lr)
+    rng = np.random.RandomState(0)
+    mel_win = seq_len // dsp.hop_length + 2 * voc.pad
+    x = rng.uniform(-1, 1, (batch_size, seq_len)).astype(np.float32)
+    y = rng.uniform(-1, 1, (batch_size, seq_len)).astype(np.float32)
+    m = rng.uniform(0, 1, (batch_size, dsp.num_mels, mel_win)).astype(np.float32)
+
+    def one(state):
+        return wt.train_step(state, x, y, m, voc, dsp, cfg.voc_train.lr,
+                             cfg.voc_train.clip_grad_norm)
+
+    t0 = time.time()
+    state, metrics = one(state)
+    np.asarray(metrics["loss"])
+    print(f"train compile+1st step: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = one(state)
+    np.asarray(metrics["loss"])          # single fence after the pipeline
+    dt = time.perf_counter() - t0
+    sps = steps / dt
+    _report("train", True, f"{sps:.1f} steps/s (bs={batch_size}, "
+            f"seq={seq_len}, MOL)")
+    return {"train_steps_per_s": round(sps, 2),
+            "train_batch_size": batch_size, "train_seq_len": seq_len}
+
+
+def tts_e2e_bench(text: str | None = None, steps: int = 1000) -> dict:
+    """End-to-end text->mel->wav latency on one chip (quick_start.py:108-120
+    path), per-stage breakdown. Freshly-initialized weights never hit the
+    stop threshold, so the decoder runs the full `steps` bound — the timing
+    is an upper bound for a `steps`-frame utterance (steps=1000 ~ 12.5 s of
+    audio at hop 275 / 22.05 kHz)."""
+    import jax
+
+    from .config import Config
+    from .models import tacotron as taco
+    from .models import wavernn as wr
+    from .text import text_to_sequence
+
+    cfg = Config()
+    text = text or ("Scientists at the CERN laboratory say they have "
+                    "discovered a new particle.")
+    ids = np.asarray(text_to_sequence(text, cfg.tts.cleaner_names), np.int64)
+
+    tparams = taco.init_tacotron(jax.random.PRNGKey(0), cfg.tts,
+                                 cfg.dsp.num_mels)
+    vparams = wr.init_wavernn(jax.random.PRNGKey(1), cfg.voc, cfg.dsp)
+    r = cfg.tts_train.schedule[-1][0]  # r=2, the pretrained-ckpt setting
+
+    def run(k_mel, k_voc):
+        t0 = time.perf_counter()
+        mel, _, _ = taco.generate(tparams, ids, cfg.tts, r,
+                                  cfg.dsp.num_mels, steps=steps, key=k_mel)
+        t_mel = time.perf_counter() - t0
+        # (mel+4)/8 rescale (quick_start.py:118); pad to the full `steps`
+        # frames so the vocoder program compiles once across calls
+        mel01 = np.clip((mel + 4.0) / 8.0, 0.0, 1.0)
+        mel01 = np.pad(mel01, ((0, 0), (0, steps - mel01.shape[-1])),
+                       mode="edge")[None]
+        t0 = time.perf_counter()
+        wav = np.asarray(wr.generate_fast(vparams, mel01, cfg.voc, cfg.dsp,
+                                          k_voc))
+        return t_mel, time.perf_counter() - t0, wav
+
+    t0 = time.time()
+    run(jax.random.PRNGKey(0), jax.random.PRNGKey(1))  # compile both stages
+    print(f"tts-e2e compile+run: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    t_mel, t_voc, wav = run(jax.random.PRNGKey(2), jax.random.PRNGKey(3))
+    audio_s = wav.shape[-1] / cfg.dsp.sample_rate
+    rtf = audio_s / (t_mel + t_voc)
+    _report("tts-e2e", True,
+            f"mel {t_mel*1e3:.0f}ms + voc {t_voc*1e3:.0f}ms for "
+            f"{audio_s:.1f}s audio ({rtf:.0f}x realtime)")
+    return {"tts_mel_s": round(t_mel, 3), "tts_voc_s": round(t_voc, 3),
+            "tts_audio_s": round(audio_s, 2), "tts_e2e_rtf": round(rtf, 1)}
