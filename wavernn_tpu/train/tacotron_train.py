@@ -143,6 +143,7 @@ def train_loop(cfg: Config, workspace, state: TTSTrainState,
     """
     import jax as _jax
 
+    from ..data.prefetch import prefetch
     from .checkpoints import save_checkpoint
 
     key = key if key is not None else jax.random.PRNGKey(0)
@@ -150,15 +151,16 @@ def train_loop(cfg: Config, workspace, state: TTSTrainState,
     offline = mode == "attention_forcing_offline"
     online = mode == "attention_forcing_online"
 
+    step = int(state.step)
     for session_idx, (r, lr, max_step, bs) in enumerate(cfg.tts_train.schedule):
-        if int(state.step) >= max_step:
+        if step >= max_step:
             continue
         if max_steps is not None:
             max_step = min(max_step, max_steps)
         dataset = make_dataset(r, bs)
         log(f"Session {session_idx}: r={r} lr={lr} until step {max_step} bs={bs}")
-        while int(state.step) < max_step:
-            for batch in dataset:
+        while step < max_step:
+            for batch in prefetch(dataset):
                 key, k_step, k_teacher = _jax.random.split(key, 3)
                 if offline:
                     chars, mel, ids, mel_lens, attn_ref = batch
@@ -184,7 +186,7 @@ def train_loop(cfg: Config, workspace, state: TTSTrainState,
                         state, jnp.asarray(chars), jnp.asarray(mel), cfg.tts,
                         r, lr, k_step, cfg.tts_train.clip_grad_norm)
 
-                step = int(state.step)
+                step += 1  # host-side mirror of state.step (no device sync)
                 if step % cfg.tts_train.checkpoint_every == 0:
                     save_checkpoint("tts", workspace, state.params,
                                     state.opt_state, step,
@@ -199,12 +201,12 @@ def train_loop(cfg: Config, workspace, state: TTSTrainState,
                 continue
             break
         save_checkpoint("tts", workspace, state.params, state.opt_state,
-                        int(state.step), log=log, extra_meta={"r": r})
-        msg = f"| Session {session_idx} done | loss {float(metrics['loss']):.4f} | step {int(state.step)} |"
+                        step, log=log, extra_meta={"r": r})
+        msg = f"| Session {session_idx} done | loss {float(metrics['loss']):.4f} | step {step} |"
         log(msg)
         with open(workspace.tts_log, "a") as f:
             print(msg, file=f)
-        if max_steps is not None and int(state.step) >= max_steps:
+        if max_steps is not None and step >= max_steps:
             break
     return state
 

@@ -88,10 +88,19 @@ def train_loop(cfg: Config, workspace, dataset, state: TrainState,
                lr: Optional[float] = None, total_steps: Optional[int] = None,
                log=print, checkpoint_every: Optional[int] = None,
                on_checkpoint=None):
-    """Epoch loop (train_wavernn.py:98-162): per-step metrics, periodic named
-    checkpoints, per-epoch latest checkpoint + log line."""
+    """Epoch loop (train_wavernn.py:98-162): periodic named checkpoints,
+    per-epoch latest checkpoint + log line.
+
+    Throughput-critical detail: the loop never syncs the host on a per-step
+    basis — metrics accumulate as lazy device scalars and the step counter
+    for checkpoint scheduling is tracked Python-side, so XLA's async
+    dispatch pipelines step N+1 while step N executes. Batches are staged
+    on device by a prefetch thread (the reference used 2 DataLoader worker
+    processes, utils/dataset.py:54-60).
+    """
     import time
 
+    from ..data.prefetch import prefetch
     from .checkpoints import save_checkpoint
 
     lr = cfg.voc_train.lr if lr is None else lr
@@ -99,18 +108,20 @@ def train_loop(cfg: Config, workspace, dataset, state: TrainState,
     checkpoint_every = (cfg.voc_train.checkpoint_every
                         if checkpoint_every is None else checkpoint_every)
 
-    while int(state.step) < total_steps:
+    step = int(state.step)
+    while step < total_steps:
         start = time.time()
-        running, i = 0.0, 0
-        for x, y, m in dataset:
+        running = jnp.zeros((), jnp.float32)     # lazy device accumulators
+        nonfinite = jnp.zeros((), jnp.int32)
+        i = 0
+        for x, y, m in prefetch(dataset):
             i += 1
             state, metrics = train_step(state, x, y, m, cfg.voc, cfg.dsp, lr,
                                         cfg.voc_train.clip_grad_norm)
-            loss = float(metrics["loss"])
-            if not jnp.isfinite(metrics["grad_norm"]):
-                log("grad_norm was NaN!")
-            running += loss
-            step = int(state.step)
+            running = running + metrics["loss"]
+            nonfinite = nonfinite + (
+                ~jnp.isfinite(metrics["grad_norm"])).astype(jnp.int32)
+            step += 1
             if step % checkpoint_every == 0:
                 k_steps = step // 1000
                 save_checkpoint("voc", workspace, state.params,
@@ -120,13 +131,16 @@ def train_loop(cfg: Config, workspace, dataset, state: TrainState,
                     on_checkpoint(state)
             if step >= total_steps:
                 break
+        n_bad = int(nonfinite)                   # one sync per epoch
+        if n_bad:
+            log(f"grad_norm was non-finite on {n_bad} step(s)!")
         speed = i / max(time.time() - start, 1e-9)
-        avg = running / max(i, 1)
+        avg = float(running) / max(i, 1)
         msg = (f"| Epoch done | Loss: {avg:.4f} | {speed:.1f} steps/s "
-               f"| Step: {int(state.step) // 1000}k |")
+               f"| Step: {step // 1000}k |")
         log(msg)
         with open(workspace.voc_log, "a") as f:
             print(msg, file=f)
         save_checkpoint("voc", workspace, state.params, state.opt_state,
-                        int(state.step), log=log)
+                        step, log=log)
     return state
