@@ -155,3 +155,31 @@ def test_generate_batch_matches_single(rng):
     batched = taco.generate_batch(params, [x], tts, r=2, steps=20,
                                   key=jax.random.PRNGKey(5))[0]
     np.testing.assert_allclose(batched[0], single[0], atol=1e-5)
+
+def test_generate_chunked_early_exit_matches_full_scan(rng):
+    """Early-exit while_loop decode must be bit-identical to an unchunked
+    scan over all groups — including mel/linear beyond the stop step (the
+    postnet BiGRU sees the whole buffer) — in both the stopping and the
+    never-stopping regime."""
+    import dataclasses
+
+    params = taco.init_tacotron(jax.random.PRNGKey(0), SMALL, N_MELS, 148)
+    x = jnp.asarray(rng.randint(1, 148, (2, 9)))
+    r, steps = 2, 64
+    key = jax.random.PRNGKey(3)
+    # stop_threshold above any output -> every utterance stops at t>10
+    tts_stop = dataclasses.replace(SMALL, stop_threshold=1e9)
+
+    for tts in (SMALL, tts_stop):
+        full = taco._generate_scan(params, x, tts, r, steps, N_MELS, key,
+                                   chunk_groups=steps // r)  # one chunk
+        chunked = taco._generate_scan(params, x, tts, r, steps, N_MELS, key,
+                                      chunk_groups=4)
+        for a, b in zip(chunked, full):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
+    # and the stop actually fired early
+    *_, n_valid = taco._generate_scan(params, x, tts_stop, r, steps, N_MELS,
+                                      key, chunk_groups=4)
+    assert int(np.asarray(n_valid).max()) * r < steps

@@ -359,18 +359,33 @@ def forward(params, x_ids, m, tts: TacotronConfig, r: int, key,
     return mel_out, linear, attn, new_params
 
 
-@partial(jax.jit, static_argnames=("tts", "r", "steps", "n_mels"))
+@partial(jax.jit, static_argnames=("tts", "r", "steps", "n_mels",
+                                   "chunk_groups"))
 def _generate_scan(params, x_ids, tts: TacotronConfig, r: int, steps: int,
-                   n_mels: int, key):
+                   n_mels: int, key, chunk_groups: int = 32):
+    """Free-running decode with chunked early exit.
+
+    The reference breaks its Python loop at the stop threshold
+    (tacotron.py:407-416); a plain lax.scan would always run all steps/r
+    groups (~10x wasted decoder compute for a 2-second sentence at
+    steps=2000). Instead the scan runs in `chunk_groups`-group chunks
+    inside a lax.while_loop that exits once every utterance in the batch
+    has stopped — serving latency tracks utterance length at chunk
+    granularity while staying a single compiled program.
+    """
     B = x_ids.shape[0]
     n_groups = steps // r
+    n_chunks = -(-n_groups // chunk_groups)
+    n_pad = n_chunks * chunk_groups
     k_enc, k_dec = jax.random.split(key)
     encoder_seq, _ = encoder_apply(params["encoder"], x_ids, k_enc, False,
                                    tts.dropout)
     encoder_seq_proj = L.linear(params["encoder_proj"], encoder_seq)
     state0 = init_decoder_state(B, x_ids.shape[1], tts, n_mels)
     dec = params["decoder"]
-    step_keys = jax.random.split(k_dec, n_groups)
+    # inference consumes no randomness (dropout/zoneout are eval-off, as in
+    # the reference's self.eval() generate), keys exist only for API shape
+    step_keys = jax.random.split(k_dec, n_pad)
 
     def step(carry, k):
         state, stopped, t = carry  # stopped: (B,) per-utterance masks
@@ -390,8 +405,48 @@ def _generate_scan(params, x_ids, tts: TacotronConfig, r: int, steps: int,
             state, new_state)
         return (state, stopped_now, t + r), (mels, scores, stopped)
 
-    (_, _, _), (mel_groups, attn_scores, stopped_before) = jax.lax.scan(
-        step, (state0, jnp.zeros((B,), bool), jnp.asarray(0)), step_keys)
+    def chunk_body(carry):
+        state, stopped, t, c, mel_buf, attn_buf, stop_buf = carry
+        keys = jax.lax.dynamic_slice_in_dim(step_keys, c * chunk_groups,
+                                            chunk_groups)
+        (state, stopped, t), (m_g, a_g, s_g) = jax.lax.scan(
+            step, (state, stopped, t), keys)
+        at = c * chunk_groups
+        mel_buf = jax.lax.dynamic_update_slice_in_dim(mel_buf, m_g, at, 0)
+        attn_buf = jax.lax.dynamic_update_slice_in_dim(attn_buf, a_g, at, 0)
+        stop_buf = jax.lax.dynamic_update_slice_in_dim(stop_buf, s_g, at, 0)
+        return (state, stopped, t, c + 1, mel_buf, attn_buf, stop_buf)
+
+    def chunk_cond(carry):
+        _, stopped, _, c, _, _, _ = carry
+        return jnp.logical_and(c < n_chunks, ~jnp.all(stopped))
+
+    T_text = x_ids.shape[1]
+    init = (state0, jnp.zeros((B,), bool), jnp.asarray(0),
+            jnp.asarray(0, jnp.int32),
+            jnp.zeros((n_pad, B, n_mels, r), jnp.float32),
+            jnp.zeros((n_pad, B, T_text), jnp.float32),
+            # groups never executed count as already-stopped for n_valid
+            jnp.ones((n_pad, B), bool))
+    (state_f, _, _, c_f, mel_groups, attn_scores, stopped_before) = \
+        jax.lax.while_loop(chunk_cond, chunk_body, init)
+
+    # Unexecuted trailing groups (early exit ⇒ every utterance stopped ⇒
+    # state frozen ⇒ a full scan would have written the same frozen group
+    # forever): fill them with one extra frozen-state step so the output —
+    # including what the postnet BiGRU sees beyond the stop — is
+    # bit-identical to an unchunked scan over all groups.
+    tail_mels, tail_scores, _ = decoder_step(
+        dec, encoder_seq, encoder_seq_proj, state_f.prev_frame, state_f,
+        tts, r, n_mels, step_keys[0], False)
+    fill = (jnp.arange(n_pad) >= c_f * chunk_groups)
+    mel_groups = jnp.where(fill[:, None, None, None], tail_mels[None],
+                           mel_groups)
+    attn_scores = jnp.where(fill[:, None, None], tail_scores[None],
+                            attn_scores)
+    mel_groups = mel_groups[:n_groups]
+    attn_scores = attn_scores[:n_groups]
+    stopped_before = stopped_before[:n_groups]
 
     mel_out = jnp.moveaxis(mel_groups, 0, 2).reshape(B, n_mels, steps)
     attn = jnp.swapaxes(attn_scores, 0, 1)
