@@ -197,3 +197,38 @@ def test_generate_multi_batches_utterances(rng):
     for mel, wav in zip(mels_list, outs):
         assert wav.shape == ((mel.shape[1] - 1) * DSP.hop_length,)
         assert np.isfinite(wav).all()
+
+def test_batched_padded_upsample_matches_single(rng):
+    """generate_multi's one-call padded upsample must equal per-utterance
+    upsampling on each utterance's valid region (zero frames beyond an
+    utterance cannot leak left of its boundary)."""
+    import jax.numpy as jnp
+
+    from wavernn_tpu.config import WaveRNNConfig
+    voc = WaveRNNConfig(mode="MOL", rnn_dims=32, fc_dims=32, compute_dims=16,
+                        res_out_dims=32, res_blocks=1, pad=2,
+                        upsample_factors=(5, 5, 11))
+    params = wr.init_wavernn(jax.random.PRNGKey(1), voc, DSP)
+    hop = DSP.hop_length
+    frames = [23, 57, 40]
+    mels = [rng.uniform(0, 1, (DSP.num_mels, f)).astype(np.float32)
+            for f in frames]
+
+    T_max = -(-max(frames) // 64) * 64
+    batch = np.zeros((3, DSP.num_mels, T_max), np.float32)
+    for i, m in enumerate(mels):
+        batch[i, :, :m.shape[-1]] = m
+    mels_b = jnp.pad(jnp.asarray(batch), ((0, 0), (0, 0),
+                                          (voc.pad, voc.pad)))
+    mu_b, au_b, _ = wr._upsample_jit(params["upsample"], mels_b, voc)
+
+    for i, m in enumerate(mels):
+        single = jnp.pad(jnp.asarray(m)[None], ((0, 0), (0, 0),
+                                                (voc.pad, voc.pad)))
+        mu, au, _ = wr.upsample_apply(params["upsample"], single, voc,
+                                      training=False)
+        valid = frames[i] * hop
+        np.testing.assert_allclose(np.asarray(mu_b[i, :valid]),
+                                   np.asarray(mu[0]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(au_b[i, :valid]),
+                                   np.asarray(au[0]), atol=1e-5)

@@ -15,10 +15,12 @@ compat/torch_import.py.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import DSPConfig, WaveRNNConfig
 from ..ops import layers as L
@@ -218,6 +220,11 @@ _generate_device_jit = jax.jit(
                      "use_pallas"))
 
 
+@partial(jax.jit, static_argnames=("voc",))
+def _upsample_jit(p_upsample, mels, voc: WaveRNNConfig):
+    return upsample_apply(p_upsample, mels, voc, training=False)
+
+
 def generate_fast(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
                   target: Optional[int] = None, overlap: Optional[int] = None,
                   mu_law: bool = True, use_pallas: bool = True):
@@ -250,20 +257,30 @@ def generate_multi(params, mels_list, voc: WaveRNNConfig, dsp: DSPConfig,
     overlap = voc.overlap if overlap is None else overlap
     mu_law = mu_law if voc.mode == "RAW" else False
 
+    # One padded upsample call for the whole batch (not a per-utterance
+    # dispatch loop): zero-padding an utterance's frames to T_max cannot
+    # change its valid region — every conv in the upsampler sees only zeros
+    # to the right of the voc.pad frames either way — and rounding T_max up
+    # buckets the compiled shape across serving batches.
+    arrs = [np.asarray(m)[0] if np.asarray(m).ndim == 3 else np.asarray(m)
+            for m in mels_list]
+    frames = [m.shape[-1] for m in arrs]
+    T_max = -(-max(frames) // 64) * 64
+    batch = np.zeros((len(arrs), arrs[0].shape[0], T_max), np.float32)
+    for i, m in enumerate(arrs):
+        batch[i, :, :m.shape[-1]] = m
+    mels_b = jnp.pad(jnp.asarray(batch), ((0, 0), (0, 0), (voc.pad, voc.pad)))
+    mu_b, au_b, _ = _upsample_jit(params["upsample"], mels_b, voc)
+
     fold_m, fold_a, counts, wave_lens = [], [], [], []
-    for mels in mels_list:
-        mels = jnp.asarray(mels)
-        if mels.ndim == 2:
-            mels = mels[None]
-        wave_lens.append((mels.shape[-1] - 1) * dsp.hop_length)
-        mels = jnp.pad(mels, ((0, 0), (0, 0), (voc.pad, voc.pad)))
-        mu, au, _ = upsample_apply(params["upsample"], mels, voc,
-                                   training=False)
-        mf = F.fold_with_overlap(mu, target, overlap)
-        af = F.fold_with_overlap(au, target, overlap)
-        fold_m.append(mf)
-        fold_a.append(af)
-        counts.append(mf.shape[0])
+    for i, n_frames in enumerate(frames):
+        wave_lens.append((n_frames - 1) * dsp.hop_length)
+        valid = n_frames * dsp.hop_length
+        fold_m.append(F.fold_with_overlap(mu_b[i:i + 1, :valid], target,
+                                          overlap))
+        fold_a.append(F.fold_with_overlap(au_b[i:i + 1, :valid], target,
+                                          overlap))
+        counts.append(fold_m[-1].shape[0])
 
     mf = jnp.concatenate(fold_m, axis=0)
     af = jnp.concatenate(fold_a, axis=0)
