@@ -90,3 +90,40 @@ def test_parity_with_reference_frontend(reference_modules):
     for c in cases:
         assert text_to_sequence(c, ["english_cleaners"]) == \
             ref_tts(c, ["english_cleaners"]), c
+
+def test_unidecode_fallback_fidelity():
+    """The NFKD+table fallback must match REAL unidecode's output on the
+    Latin-script + typographic-punctuation set English corpora contain.
+    Expected strings below are pinned real-unidecode outputs, so this test
+    is meaningful even though unidecode isn't installed here (the
+    reference-parity tests back both sides with the same shim)."""
+    from wavernn_tpu.text.cleaners import _unidecode_fallback
+
+    pinned = [
+        ("café", "cafe"),
+        ("naïve", "naive"),
+        ("Zoë", "Zoe"),
+        ("El Niño", "El Nino"),
+        ("Müller", "Muller"),
+        ("Šimon", "Simon"),
+        ("Ångström", "Angstrom"),
+        ("straße", "strasse"),
+        ("Æsop and æther", "AEsop and aether"),
+        ("œuvre and Œdipus", "oeuvre and OEdipus"),
+        ("Søren Ørsted", "Soren Orsted"),
+        ("Łódź", "Lodz"),
+        ("Ðorđe", "Dorde"),
+        ("Þór and þing", "Thor and thing"),
+        ("eyjafjallajökull — 2010", 'eyjafjallajokull -- 2010'),
+        ("‘quoted’ and “double”", "'quoted' and \"double\""),
+        ("wait… what", "wait... what"),
+        ("3 × 4", "3 x 4"),
+        ("en–dash", "en-dash"),
+    ]
+    for src, want in pinned:
+        assert _unidecode_fallback(src) == want, (src,
+                                                  _unidecode_fallback(src))
+
+    # documented degradation: non-Latin scripts are dropped (real unidecode
+    # would transliterate "Москва" -> "Moskva")
+    assert _unidecode_fallback("Москва") == ""

@@ -10,12 +10,33 @@ import unicodedata
 
 from .numbers_en import normalize_numbers
 
+# Characters NFKD cannot decompose to ASCII but real unidecode maps;
+# covers the Latin-script + typographic-punctuation set that occurs in
+# LJSpeech-style English corpora. Values are pinned to real unidecode
+# output (tests/test_text.py::test_unidecode_fallback_fidelity).
+_TRANSLIT = {
+    "ß": "ss", "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE",
+    "ø": "o", "Ø": "O", "đ": "d", "Đ": "D", "ð": "d", "Ð": "D",
+    "þ": "th", "Þ": "Th", "ł": "l", "Ł": "L",
+    "–": "-", "—": "--", "‘": "'", "’": "'",
+    "“": '"', "”": '"', "…": "...", "×": "x",
+}
+_TRANSLIT_RE = re.compile("|".join(map(re.escape, _TRANSLIT)))
+
+def _unidecode_fallback(text: str) -> str:
+    """NFKD + table fallback. Matches real unidecode on Latin-script
+    input; non-Latin scripts (Cyrillic, CJK, ...) degrade to '' where
+    unidecode would transliterate — acceptable for the English cleaners
+    this frontend ships (reference utils/text/cleaners.py)."""
+    text = _TRANSLIT_RE.sub(lambda m: _TRANSLIT[m.group(0)], text)
+    return (unicodedata.normalize("NFKD", text)
+            .encode("ascii", "ignore").decode("ascii"))
+
+
 try:  # optional dependency
     from unidecode import unidecode as _unidecode
 except ImportError:  # pragma: no cover
-    def _unidecode(text: str) -> str:
-        return (unicodedata.normalize("NFKD", text)
-                .encode("ascii", "ignore").decode("ascii"))
+    _unidecode = _unidecode_fallback
 
 _whitespace_re = re.compile(r"\s+")
 
