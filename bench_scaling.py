@@ -19,10 +19,54 @@ import time
 import numpy as np
 
 
+def fold_batch_sweep(steps: int = 2048, batches=(1, 2, 4, 8, 16, 32, 64, 128)):
+    """Single-chip saturation curve: sample-kernel throughput vs fold batch.
+
+    The sample loop is latency-bound per step, so samples/s should scale
+    near-linearly with the fold batch until VPU/MXU throughput saturates —
+    this measures where (BASELINE.md scaling row, 1-chip granularity).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from wavernn_tpu.config import DSPConfig, WaveRNNConfig
+    from wavernn_tpu.models import wavernn as wr
+    from wavernn_tpu.ops.pallas_gen import generate_pallas
+
+    dsp = DSPConfig()
+    voc = WaveRNNConfig(mode="MOL")
+    params = wr.init_wavernn(jax.random.PRNGKey(1), voc, dsp)
+    rng = np.random.RandomState(0)
+    curve = {}
+    for B in batches:
+        mels_up = jnp.asarray(
+            rng.randn(B, steps, dsp.num_mels).astype(np.float32)) * 0.3
+        aux = jnp.asarray(
+            rng.randn(B, steps, voc.res_out_dims).astype(np.float32)) * 0.3
+
+        def run(k):
+            return np.asarray(generate_pallas(params, mels_up, aux, voc,
+                                              dsp.bits, jax.random.PRNGKey(k)))
+
+        run(0)  # compile
+        ts = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            run(i + 1)
+            ts.append(time.perf_counter() - t0)
+        dt = float(np.median(ts))
+        curve[B] = B * steps / dt
+        print(f"fold batch {B:4d}: {dt / steps * 1e6:7.2f} us/step  "
+              f"{curve[B] / 1e6:6.3f} Msamples/s", file=sys.stderr)
+    return curve
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--cpu", action="store_true",
                         help="force CPU backend (virtual device mesh)")
+    parser.add_argument("--sweep", action="store_true",
+                        help="also run the single-chip fold-batch sweep")
     parser.add_argument("--frames", type=int, default=1345)
     parser.add_argument("--target", type=int, default=None)
     parser.add_argument("--overlap", type=int, default=None)
@@ -73,14 +117,19 @@ def main():
     base = results[1]
     eff = {n: results[n] / (n * base) for n in results}
     largest = max(results)
-    print(json.dumps({
+    out = {
         "metric": f"gen_audio_seconds_per_s_{largest}dev",
         "value": round(results[largest], 2),
         "unit": "audio-s/s",
         "vs_baseline": round(results[largest] / 5.0, 2),  # 5x RT target
+        "platform": jax.devices()[0].platform,
         "per_device": {str(n): round(v, 2) for n, v in results.items()},
         "scaling_efficiency": {str(n): round(e, 3) for n, e in eff.items()},
-    }))
+    }
+    if args.sweep:
+        out["fold_batch_samples_per_s"] = {
+            str(b): round(v, 0) for b, v in fold_batch_sweep().items()}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,118 @@
+"""Block-sparse sample kernel vs the scan oracle on block-pruned weights.
+
+The reference's pruning prototype exists to make the sample loop cheap at
+93.75% sparsity (notebooks/Pruning - Scratchpad.ipynb cells 4-5); here the
+block-structured masks from train/pruning.py feed a mask-specialized Pallas
+kernel that skips zero (8, 128) tiles entirely.  Skipped blocks contribute
+exactly 0, so sparse output == dense-masked output bit-for-bit modulo
+accumulation order.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from wavernn_tpu.config import DSPConfig, WaveRNNConfig
+from wavernn_tpu.models import wavernn as wr
+from wavernn_tpu.ops.sample_loop import generate_scan
+from wavernn_tpu.ops.pallas_gen import (
+    _pack_block_sparse, generate_pallas, generate_pallas_sparse)
+from wavernn_tpu.train.pruning import (
+    PruneSpec, apply_masks, block_mask_from_matrix, init_masks)
+
+DSP = DSPConfig()
+Z = 0.9375  # the reference prune notebook's target sparsity
+
+
+def _cfg(mode="MOL"):
+    # dims chosen so every pruned matrix is (8,128)-tile divisible
+    return WaveRNNConfig(mode=mode, rnn_dims=128, fc_dims=128,
+                         compute_dims=16, res_out_dims=128, res_blocks=1,
+                         pad=2, upsample_factors=(5, 5, 11))
+
+
+def _block_pruned_params(voc, key=1):
+    params = wr.init_wavernn(jax.random.PRNGKey(key), voc, DSP)
+    spec = PruneSpec([(("rnn1", "wi"), 3), (("rnn1", "wh"), 3),
+                      (("rnn2", "wi"), 3), (("rnn2", "wh"), 3),
+                      (("fc1", "w"), 1), (("fc2", "w"), 1)])
+    masks = init_masks(params, spec)
+    for path, n_splits in spec.entries:
+        k = "/".join(path)
+        W = params[path[0]][path[1]]
+        masks[k] = block_mask_from_matrix(W, jnp.asarray(Z), n_splits)
+    return apply_masks(params, masks, spec)
+
+
+def _inputs(rng, voc, B, T):
+    mels_up = jnp.asarray(rng.randn(B, T, DSP.num_mels).astype(np.float32)) * 0.3
+    aux = jnp.asarray(rng.randn(B, T, voc.res_out_dims).astype(np.float32)) * 0.3
+    return mels_up, aux
+
+
+def test_packer_detects_block_pattern():
+    voc = _cfg("MOL")
+    params = _block_pruned_params(voc)
+    packed, rows = _pack_block_sparse(params["rnn1"]["wh"])
+    n_blocks = sum(len(r) for r in rows)
+    total = (voc.rnn_dims // 8) * (3 * voc.rnn_dims // 128)
+    assert packed.shape == (max(n_blocks, 1) * 8, 128)
+    # ~6.25% of blocks live (per-gate-split quantile -> small rounding slack)
+    assert n_blocks <= int(total * (1 - Z) + 3 * 3)
+    # dense fallback on a matrix with no zero blocks
+    assert _pack_block_sparse(np.ones((128, 384), np.float32)) is None
+
+
+def test_sparse_kernel_matches_scan_mol(rng):
+    voc = _cfg("MOL")
+    params = _block_pruned_params(voc)
+    B, T = 8, 200
+    mels_up, aux = _inputs(rng, voc, B, T)
+    nr_mix = voc.n_classes(DSP.bits) // 3
+    u_mix = jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (T, B, nr_mix)).astype(np.float32))
+    u_s = jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (T, B)).astype(np.float32))
+
+    want = np.asarray(generate_scan(params, mels_up, aux, voc, DSP.bits,
+                                    jax.random.PRNGKey(0), noise=(u_mix, u_s)))
+    got = np.asarray(generate_pallas_sparse(
+        params, mels_up, aux, voc, DSP.bits, jax.random.PRNGKey(0),
+        noise=(u_mix, u_s), chunk=64, compute_dtype=jnp.float32,
+        interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_sparse_kernel_matches_dense_kernel_raw(rng):
+    voc = _cfg("RAW")
+    params = _block_pruned_params(voc)
+    B, T = 4, 120
+    mels_up, aux = _inputs(rng, voc, B, T)
+    noise = jnp.asarray(
+        rng.uniform(1e-5, 1 - 1e-5, (T, B, 2 ** DSP.bits)).astype(np.float32))
+    want = np.asarray(generate_pallas(params, mels_up, aux, voc, DSP.bits,
+                                      jax.random.PRNGKey(0), noise=noise,
+                                      chunk=60, compute_dtype=jnp.float32,
+                                      interpret=True))
+    got = np.asarray(generate_pallas_sparse(
+        params, mels_up, aux, voc, DSP.bits, jax.random.PRNGKey(0),
+        noise=noise, chunk=60, compute_dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_unpruned_params_fall_back_dense(rng):
+    """Unpruned weights have no zero blocks -> the sparse entry must produce
+    the plain dense kernel's output (and not crash or mis-specialize)."""
+    voc = _cfg("MOL")
+    params = wr.init_wavernn(jax.random.PRNGKey(1), voc, DSP)
+    B, T = 4, 100
+    mels_up, aux = _inputs(rng, voc, B, T)
+    nr_mix = voc.n_classes(DSP.bits) // 3
+    u_mix = jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (T, B, nr_mix)).astype(np.float32))
+    u_s = jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (T, B)).astype(np.float32))
+    want = np.asarray(generate_pallas(params, mels_up, aux, voc, DSP.bits,
+                                      jax.random.PRNGKey(0), noise=(u_mix, u_s),
+                                      chunk=50, compute_dtype=jnp.float32,
+                                      interpret=True))
+    got = np.asarray(generate_pallas_sparse(
+        params, mels_up, aux, voc, DSP.bits, jax.random.PRNGKey(0),
+        noise=(u_mix, u_s), chunk=50, compute_dtype=jnp.float32,
+        interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)

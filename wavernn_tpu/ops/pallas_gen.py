@@ -15,8 +15,11 @@ inside ONE kernel launch:
   * MOL sampling (Gumbel mixture pick + inverse-CDF logistic) executes on
     the VPU in-kernel; RAW mode draws Gumbel noise from the on-core PRNG.
 
-Layouts: conditioning and outputs are time-major (T, B, ·) so each inner
-step reads/writes a contiguous (B, ·) tile.
+Layouts: conditioning and noise stream time-major (T, B, ·) so each inner
+step reads a contiguous sublane-major (B, ·) tile; samples accumulate in a
+(B, chunk) VMEM scratch (lane-iota select) and flush once per chunk — every
+per-step vector stays sublane-major, avoiding the per-step sublane->lane
+relayout that a (T, B) row write would cost (~40% of step time measured).
 """
 from __future__ import annotations
 
@@ -50,19 +53,85 @@ def _dot(a, w):
         preferred_element_type=jnp.float32)
 
 
+SPARSE_BR, SPARSE_BC = 8, 128  # native f32 VMEM tile (sublane x lane)
+
+
+def _sparse_mm(op, w_ref, rows):
+    """Block-sparse (B, I) @ (I, O) with a mask-specialized static schedule.
+
+    ``w_ref`` holds only the nonzero (8, 128) blocks, packed row-major in
+    column-block order; ``rows`` (static Python data) lists, per output
+    column block, which input row-blocks are live.  Each column block does
+    one small MXU matmul over just its live contraction rows, gathered from
+    ``op`` by static lane slices — zero blocks cost nothing at runtime.
+    """
+    B = op.shape[0]
+    br, bc = SPARSE_BR, SPARSE_BC
+    dt = w_ref.dtype
+    outs = []
+    off = 0
+    for rj in rows:
+        if not rj:
+            outs.append(jnp.zeros((B, bc), jnp.float32))
+            continue
+        hg = jnp.concatenate([op[:, r * br:(r + 1) * br] for r in rj], axis=1)
+        outs.append(_dot(hg.astype(dt),
+                         w_ref[off * br:(off + len(rj)) * br, :]))
+        off += len(rj)
+    return jnp.concatenate(outs, axis=1)
+
+
+def _pack_block_sparse(W, max_density: float = 0.5):
+    """Host-side packing of a masked weight into (packed_blocks, rows).
+
+    Detects the zero-(8,128)-block pattern of ``W`` (exact: skipped blocks
+    contribute exactly 0 to the matmul) and packs the live blocks into one
+    dense f32 array. Returns None when the matrix is not block-sparse enough
+    to pay for the gathers, or its shape is not tile-divisible.
+    """
+    W = np.asarray(W, np.float32)
+    I, O = W.shape
+    br, bc = SPARSE_BR, SPARSE_BC
+    if I % br or O % bc:
+        return None
+    keep = np.abs(W).reshape(I // br, br, O // bc, bc).sum(axis=(1, 3)) > 0.0
+    if keep.mean() > max_density:
+        return None
+    rows = tuple(tuple(int(r) for r in np.where(keep[:, j])[0])
+                 for j in range(O // bc))
+    parts = [W[r * br:(r + 1) * br, j * bc:(j + 1) * bc]
+             for j, rj in enumerate(rows) for r in rj]
+    packed = (np.concatenate(parts, axis=0) if parts
+              else np.zeros((br, bc), np.float32))
+    return packed, rows
+
+
+# position of each sparsifiable weight in the kernel's flat weights list
+_SPARSE_POS = {"wi1": 3, "wh1": 4, "wi2x": 7, "wi2a": 8, "wh2": 9,
+               "w1x": 12, "w1a": 13, "w2x": 15, "w2a": 16}
+
+
 def _make_kernel(voc: WaveRNNConfig, bits: int, chunk: int, n_mels: int,
                  mol: bool, use_prng: bool, with_state: bool = False,
-                 snapshot_at=None):
+                 snapshot_at=None, sparse=None):
     R = voc.rnn_dims
     FC = voc.fc_dims
     A = voc.aux_dims
     n_classes = voc.n_classes(bits)
     nr_mix = n_classes // 3 if mol else 0
     C_IN = n_mels + A  # x-independent input-layer columns
+    sparse = dict(sparse) if sparse else {}
+
+    def mm(op, w_ref, name):
+        rows = sparse.get(name)
+        if rows is None:
+            return _dot(op.astype(w_ref.dtype), w_ref[:])
+        return _sparse_mm(op, w_ref, rows)
 
     def kernel(seed_ref,  # SMEM (1,)
                cond_ref,  # (chunk, B, n_mels + 4A)
-               u_mix_ref, u_s_ref,  # MOL noise blocks (chunk,B,nr_mix),(chunk,B)
+               u_ref,     # noise block: MOL (chunk,B,nr_mix+1) = mix|scale,
+                          # RAW (chunk,B,n_classes) streamed or (chunk,B,1)
                w_Ic_ref, w_Ix_ref, b_I_ref,
                wi1_ref, wh1_ref, bi1_ref, bh1_ref,
                wi2x_ref, wi2a_ref, wh2_ref, bi2_ref, bh2_ref,
@@ -74,11 +143,16 @@ def _make_kernel(voc: WaveRNNConfig, bits: int, chunk: int, n_mels: int,
             # (h1_0, h2_0, x_0) inputs then (samples, snap_h1, snap_h2,
             # snap_x) outputs then scratch
             (h1_0_ref, h2_0_ref, x_0_ref, out_ref, snap_h1_ref, snap_h2_ref,
-             snap_x_ref, h1_ref, h2_ref, x_ref) = rest
+             snap_x_ref, h1_ref, h2_ref, x_ref, acc_ref) = rest
         else:
-            out_ref, h1_ref, h2_ref, x_ref = rest
+            out_ref, h1_ref, h2_ref, x_ref, acc_ref = rest
         prog = pl.program_id(0)
         step0 = prog == 0
+        # every per-step vector stays sublane-major (B across sublanes):
+        # samples land in a (B, chunk) accumulator via a lane-iota select,
+        # written out once per chunk — a per-step (T, B) row write would
+        # force a sublane->lane relayout (measured ~40% of step time)
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, acc_ref.shape, 1)
 
         @pl.when(step0)
         def _():
@@ -112,32 +186,32 @@ def _make_kernel(voc: WaveRNNConfig, bits: int, chunk: int, n_mels: int,
             cdtype = w_Ic_ref.dtype
             inp = (_dot(cond[:, :C_IN].astype(cdtype), w_Ic_ref[:])
                    + x * w_Ix_ref[:] + b_I_ref[:])
-            gi1 = _dot(inp.astype(cdtype), wi1_ref[:]) + bi1_ref[:]
-            gh1 = _dot(h1.astype(cdtype), wh1_ref[:]) + bh1_ref[:]
+            gi1 = mm(inp, wi1_ref, "wi1") + bi1_ref[:]
+            gh1 = mm(h1, wh1_ref, "wh1") + bh1_ref[:]
             h1 = _gates(gi1, gh1, h1)
             xr = inp + h1
 
-            a2 = cond[:, C_IN: C_IN + A].astype(cdtype)
-            gi2 = (_dot(xr.astype(cdtype), wi2x_ref[:]) + _dot(a2, wi2a_ref[:])
+            a2 = cond[:, C_IN: C_IN + A]
+            gi2 = (mm(xr, wi2x_ref, "wi2x") + mm(a2, wi2a_ref, "wi2a")
                    + bi2_ref[:])
-            gh2 = _dot(h2.astype(cdtype), wh2_ref[:]) + bh2_ref[:]
+            gh2 = mm(h2, wh2_ref, "wh2") + bh2_ref[:]
             h2 = _gates(gi2, gh2, h2)
             x2 = xr + h2
 
-            a3 = cond[:, C_IN + A: C_IN + 2 * A].astype(cdtype)
+            a3 = cond[:, C_IN + A: C_IN + 2 * A]
             hf = jnp.maximum(
-                _dot(x2.astype(cdtype), w1x_ref[:]) + _dot(a3, w1a_ref[:])
+                mm(x2, w1x_ref, "w1x") + mm(a3, w1a_ref, "w1a")
                 + b1_ref[:], 0.0)
-            a4 = cond[:, C_IN + 2 * A: C_IN + 3 * A].astype(cdtype)
+            a4 = cond[:, C_IN + 2 * A: C_IN + 3 * A]
             hf = jnp.maximum(
-                _dot(hf.astype(cdtype), w2x_ref[:]) + _dot(a4, w2a_ref[:])
+                mm(hf, w2x_ref, "w2x") + mm(a4, w2a_ref, "w2a")
                 + b2_ref[:], 0.0)
             logits = _dot(hf.astype(cdtype), w3_ref[:]) + b3_ref[:]  # (B, n_classes)
 
             if mol:
+                u_blk = u_ref[i]                                      # (B, nr_mix+1)
                 lp = logits[:, :nr_mix]
-                u_mix = u_mix_ref[i]
-                gumbel = lp - jnp.log(-jnp.log(u_mix))
+                gumbel = lp - jnp.log(-jnp.log(u_blk[:, :nr_mix]))
                 am = jnp.argmax(gumbel, axis=-1)                      # (B,)
                 sel = (jax.lax.broadcasted_iota(jnp.int32, lp.shape, 1)
                        == am[:, None])
@@ -146,7 +220,7 @@ def _make_kernel(voc: WaveRNNConfig, bits: int, chunk: int, n_mels: int,
                 log_s = jnp.sum(jnp.where(sel, logits[:, 2 * nr_mix:3 * nr_mix],
                                           0.0), axis=-1)
                 log_s = jnp.maximum(log_s, LOG_SCALE_MIN)
-                u_s = u_s_ref[i]
+                u_s = u_blk[:, nr_mix]                                # (B,)
                 sample = means + jnp.exp(log_s) * (jnp.log(u_s)
                                                    - jnp.log(1.0 - u_s))
                 sample = jnp.clip(sample, -1.0, 1.0)
@@ -155,18 +229,20 @@ def _make_kernel(voc: WaveRNNConfig, bits: int, chunk: int, n_mels: int,
                     rb = pltpu.prng_random_bits(logits.shape)
                     u = (rb >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-9
                 else:
-                    u = u_mix_ref[i]
+                    u = u_ref[i]
                 g = -jnp.log(-jnp.log(u))
                 idx = jnp.argmax(logits + g, axis=-1)
                 sample = 2.0 * idx.astype(jnp.float32) / (n_classes - 1.0) - 1.0
 
             h1_ref[:] = h1
             h2_ref[:] = h2
-            out_ref[i, :] = sample
+            acc_ref[:] = jnp.where(lane_iota == i, sample[:, None],
+                                   acc_ref[:])
             x_ref[:, 0] = sample
             return 0
 
         jax.lax.fori_loop(0, chunk, body, 0)
+        out_ref[:] = acc_ref[:]
 
     return kernel
 
@@ -207,41 +283,110 @@ def generate_pallas(params, mels_up, aux, voc: WaveRNNConfig, bits: int, key,
                                  state_snapshot_at=None)
 
 
+@partial(jax.jit,
+         static_argnames=("voc", "bits", "chunk", "compute_dtype", "interpret",
+                          "sparse_static"))
+def _generate_pallas_sparse_jit(params, mels_up, aux, voc, bits, key, noise,
+                                sparse_arrays, chunk, compute_dtype, interpret,
+                                sparse_static):
+    return _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise,
+                                 chunk, compute_dtype, interpret,
+                                 with_state=False, init_state=None,
+                                 state_snapshot_at=None,
+                                 sparse_static=sparse_static,
+                                 sparse_arrays=sparse_arrays)
+
+
+def generate_pallas_sparse(params, mels_up, aux, voc: WaveRNNConfig, bits: int,
+                           key, noise=None, chunk: int = 128,
+                           compute_dtype=jnp.bfloat16,
+                           interpret: bool = False):
+    """Block-sparse sample-loop kernel for pruned models (SURVEY §7 step 8;
+    reference sparse prototype: notebooks/Pruning - Scratchpad.ipynb cells
+    4-5). Mirrors generate_pallas's API and is numerically exact vs the
+    dense kernel on the same (masked) weights.
+
+    Weights must already be masked (train/pruning.py, ideally
+    ``block_mask_from_matrix`` so zeros align to (8, 128) VMEM tiles). The
+    zero-block pattern is read from the concrete weights on the host, the
+    live blocks are packed into dense f32 VMEM arrays, and the kernel is
+    specialized to the pattern — it recompiles if the pattern changes, which
+    is the right trade for serving where masks are frozen after pruning.
+    Matrices that are not block-sparse (>50% live blocks, e.g. unstructured
+    masks) stay dense automatically; fc3 (n_classes columns) always dense.
+
+    Measured reality on v5e (B=128 folds, 93.75% block sparsity): ~10x
+    SLOWER per step than the dense kernel. The sample step is bound by the
+    serial per-step dependency chain, not MXU throughput — splitting each
+    state matmul into ~12 column-block matmuls plus 8-lane gathers adds
+    serial latency that dwarfs the skipped FLOPs. Kept as the numerically
+    exact consumer of block masks (and the honest record of why fine-grained
+    sparsity does not pay on TPU at this model size); prefer the dense
+    kernel, which multiplies the zeros for free.
+    """
+    R, FC = voc.rnn_dims, voc.fc_dims
+    host = {
+        "wi1": params["rnn1"]["wi"],
+        "wh1": params["rnn1"]["wh"],
+        "wi2x": params["rnn2"]["wi"][:R],
+        "wi2a": params["rnn2"]["wi"][R:],
+        "wh2": params["rnn2"]["wh"],
+        "w1x": params["fc1"]["w"][:R],
+        "w1a": params["fc1"]["w"][R:],
+        "w2x": params["fc2"]["w"][:FC],
+        "w2a": params["fc2"]["w"][FC:],
+    }
+    sparse_static, sparse_arrays = [], []
+    for name, W in host.items():
+        packed_rows = _pack_block_sparse(W)
+        if packed_rows is not None:
+            packed, rows = packed_rows
+            sparse_static.append((name, rows))
+            sparse_arrays.append(jnp.asarray(packed))
+    return _generate_pallas_sparse_jit(
+        params, mels_up, aux, voc, bits, key, noise, tuple(sparse_arrays),
+        chunk=chunk, compute_dtype=compute_dtype, interpret=interpret,
+        sparse_static=tuple(sparse_static))
+
+
 def _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise, chunk,
                           compute_dtype, interpret, with_state, init_state,
-                          state_snapshot_at):
+                          state_snapshot_at, sparse_static=(),
+                          sparse_arrays=()):
     B, T, n_mels = mels_up.shape
     R, FC, A = voc.rnn_dims, voc.fc_dims, voc.aux_dims
     n_classes = voc.n_classes(bits)
     mol = voc.mode == "MOL"
     use_prng = (not mol) and noise is None
-    nr_mix = n_classes // 3 if mol else (1 if noise is None else n_classes)
 
     T_pad = -(-T // chunk) * chunk
     cond = jnp.concatenate([mels_up, aux], axis=-1)          # (B, T, n_mels+4A)
     cond = jnp.pad(cond, ((0, 0), (0, T_pad - T), (0, 0)))
     cond = jnp.swapaxes(cond, 0, 1)                           # (T_pad, B, ·)
 
+    # all noise rides in ONE (T_pad, B, NU) stream so every per-step read is
+    # a (B, ·) sublane-major tile (a separate (T, B) u_s would make its row
+    # read lane-major and force a per-step relayout)
     k_seed, k1, k2 = jax.random.split(key, 3)
     if mol:
+        nr_mix = n_classes // 3
         if noise is None:
-            u_mix = jax.random.uniform(k1, (T_pad, B, nr_mix), minval=1e-5,
-                                       maxval=1.0 - 1e-5)
-            u_s = jax.random.uniform(k2, (T_pad, B), minval=1e-5,
-                                     maxval=1.0 - 1e-5)
+            u = jax.random.uniform(k1, (T_pad, B, nr_mix + 1), minval=1e-5,
+                                   maxval=1.0 - 1e-5)
         else:
             u_mix, u_s = noise
             u_mix = jnp.pad(u_mix, ((0, T_pad - u_mix.shape[0]), (0, 0), (0, 0)),
                             constant_values=0.5)
             u_s = jnp.pad(u_s, ((0, T_pad - u_s.shape[0]), (0, 0)),
                           constant_values=0.5)
+            u = jnp.concatenate([u_mix, u_s[..., None]], axis=-1)
     else:
         if noise is not None:  # streamed Gumbel uniforms (tests / replay)
-            u_mix = jnp.pad(noise, ((0, T_pad - noise.shape[0]), (0, 0), (0, 0)),
-                            constant_values=0.5)
+            u = jnp.pad(noise, ((0, T_pad - noise.shape[0]), (0, 0), (0, 0)),
+                        constant_values=0.5)
         else:
-            u_mix = jnp.zeros((T_pad, B, 1), jnp.float32)
-        u_s = jnp.zeros((T_pad, B), jnp.float32)
+            u = jnp.zeros((T_pad, B, 1), jnp.float32)
+    NU = u.shape[-1]
     seed = jax.random.randint(k_seed, (1,), 0, np.iinfo(np.int32).max,
                               dtype=jnp.int32)
 
@@ -265,6 +410,8 @@ def _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise, chunk,
         params["fc3"]["w"].astype(cd),
         params["fc3"]["b"][None].astype(jnp.float32),
     ]
+    for (name, _), arr in zip(sparse_static, sparse_arrays):
+        weights[_SPARSE_POS[name]] = arr  # packed f32 nonzero blocks
 
     n_grid = T_pad // chunk
 
@@ -275,35 +422,37 @@ def _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise, chunk,
     in_specs = [
         pl.BlockSpec((chunk, B, n_mels + 4 * A), lambda t, s: (t, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((chunk, B, nr_mix), lambda t, s: (t, 0, 0),
+        pl.BlockSpec((chunk, B, NU), lambda t, s: (t, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((chunk, B), lambda t, s: (t, 0), memory_space=pltpu.VMEM),
     ] + [const_spec(w.shape) for w in weights]
 
+    scratch = [
+        pltpu.VMEM((B, R), jnp.float32),
+        pltpu.VMEM((B, R), jnp.float32),
+        pltpu.VMEM((B, 128), jnp.float32),
+        pltpu.VMEM((B, chunk), jnp.float32),  # sample accumulator
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_grid,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((chunk, B), lambda t, s: (t, 0),
+        out_specs=pl.BlockSpec((B, chunk), lambda t, s: (0, t),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((B, R), jnp.float32),
-            pltpu.VMEM((B, R), jnp.float32),
-            pltpu.VMEM((B, 128), jnp.float32),
-        ],
+        scratch_shapes=scratch,
     )
 
     if not with_state:
-        kernel = _make_kernel(voc, bits, chunk, n_mels, mol, use_prng)
+        kernel = _make_kernel(voc, bits, chunk, n_mels, mol, use_prng,
+                              sparse=sparse_static)
         out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((T_pad, B), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((B, T_pad), jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(seed, cond, u_mix, u_s, *weights)
-        return jnp.swapaxes(out, 0, 1)[:, :T]
+        )(seed, cond, u, *weights)
+        return out[:, :T]
 
     # state-I/O variant: extra (h1_0, h2_0, x_0) inputs + snapshot outputs
     if init_state is None:
@@ -317,7 +466,7 @@ def _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise, chunk,
     state_specs = [const_spec((B, R)), const_spec((B, R)),
                    const_spec((B, 128))]
     out_specs = (
-        pl.BlockSpec((chunk, B), lambda t, s: (t, 0),
+        pl.BlockSpec((B, chunk), lambda t, s: (0, t),
                      memory_space=pltpu.VMEM),
         const_spec((B, R)), const_spec((B, R)), const_spec((B, 128)),
     )
@@ -326,19 +475,16 @@ def _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise, chunk,
         grid=(n_grid,),
         in_specs=in_specs + state_specs,
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((B, R), jnp.float32),
-            pltpu.VMEM((B, R), jnp.float32),
-            pltpu.VMEM((B, 128), jnp.float32),
-        ],
+        scratch_shapes=scratch,
     )
     kernel = _make_kernel(voc, bits, chunk, n_mels, mol, use_prng,
-                          with_state=True, snapshot_at=state_snapshot_at)
+                          with_state=True, snapshot_at=state_snapshot_at,
+                          sparse=sparse_static)
     out, s_h1, s_h2, s_x = pl.pallas_call(
         kernel,
         grid_spec=grid_spec_state,
         out_shape=(
-            jax.ShapeDtypeStruct((T_pad, B), jnp.float32),
+            jax.ShapeDtypeStruct((B, T_pad), jnp.float32),
             jax.ShapeDtypeStruct((B, R), jnp.float32),
             jax.ShapeDtypeStruct((B, R), jnp.float32),
             jax.ShapeDtypeStruct((B, 128), jnp.float32),
@@ -346,5 +492,5 @@ def _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise, chunk,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(seed, cond, u_mix, u_s, *weights, h1_0, h2_0, x_0_pad)
-    return (jnp.swapaxes(out, 0, 1)[:, :T], (s_h1, s_h2, s_x[:, 0]))
+    )(seed, cond, u, *weights, h1_0, h2_0, x_0_pad)
+    return (out[:, :T], (s_h1, s_h2, s_x[:, 0]))
