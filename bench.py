@@ -19,8 +19,10 @@ plus extra keys computed on the same hardware:
                       (bs 32, seq 1375; reference train_wavernn.py:98-162)
   tts_*             : end-to-end text->mel->wav latency breakdown
                       (quick_start.py:108-120 path)
+  step_us_*         : per-step kernel-variant timings + block-sparse parity
+                      (bf16 weights/gates, dense-masked vs block-sparse)
 Sections other than the headline metric can be skipped with
-BENCH_SKIP=parity,train,tts for quick runs.
+BENCH_SKIP=parity,variants,train,tts for quick runs.
 """
 import json
 import os
@@ -51,18 +53,23 @@ def main():
 
     def run(key):
         wav = wr.generate_fast(params, mels, voc, dsp, key)
-        # full host readback — block_until_ready alone does not reliably
-        # fence through remote-execution tunnels
-        return np.asarray(wav)
+        # fence with a scalar readback: the sum depends on every sample, so
+        # it cannot materialize before generation completes, but it keeps
+        # the 5.9MB wav export (tunnel-latency noise, not generation work)
+        # out of the timed region. block_until_ready alone does not
+        # reliably fence through remote-execution tunnels.
+        np.asarray(jnp.sum(wav))
+        return wav
 
-    # warmup / compile
+    # warmup / compile (+ one full readback for the sanity gate)
     t0 = time.time()
-    wav = run(jax.random.PRNGKey(0))
+    wav = np.asarray(run(jax.random.PRNGKey(0)))
     print(f"warmup (incl. compile): {time.time() - t0:.1f}s", file=sys.stderr)
     assert wav.shape == (wave_len,)
+    assert np.all(np.abs(wav) <= 1.0) and float(np.std(wav)) > 1e-4
 
     times = []
-    for i in range(4):
+    for i in range(6):
         t0 = time.perf_counter()
         run(jax.random.PRNGKey(i + 1))
         times.append(time.perf_counter() - t0)
@@ -82,6 +89,8 @@ def main():
     }
     if "parity" not in skip:
         result.update(benchmarks.parity_checks())
+    if "variants" not in skip:
+        result.update(benchmarks.kernel_variants_bench())
     if "train" not in skip:
         result.update(benchmarks.train_bench())
     if "tts" not in skip:

@@ -75,3 +75,24 @@ def test_pallas_v2_matches_scan_mol(rng):
         noise=(u_mix, u_s), chunk=50, compute_dtype=jnp.float32,
         stream_dtype=jnp.float32, interpret=True))
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_pallas_bf16_gates_agreement(rng):
+    """gates_dtype=bf16 (bf16 recurrence/state) must track the f32 scan
+    trajectory closely — occasional rounding-flipped mixture picks are
+    legitimate, so gate on agreement rate, not allclose."""
+    voc = _cfg("MOL")
+    params = wr.init_wavernn(jax.random.PRNGKey(1), voc, DSP)
+    B, T = 8, 200
+    mels_up = jnp.asarray(rng.randn(B, T, DSP.num_mels).astype(np.float32)) * 0.3
+    aux = jnp.asarray(rng.randn(B, T, voc.res_out_dims).astype(np.float32)) * 0.3
+    u_mix = jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (T, B, 10)).astype(np.float32))
+    u_s = jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (T, B)).astype(np.float32))
+    want = np.asarray(generate_scan(params, mels_up, aux, voc, DSP.bits,
+                                    jax.random.PRNGKey(0), noise=(u_mix, u_s)))
+    got = np.asarray(generate_pallas(params, mels_up, aux, voc, DSP.bits,
+                                     jax.random.PRNGKey(0), noise=(u_mix, u_s),
+                                     chunk=64, compute_dtype=jnp.bfloat16,
+                                     gates_dtype=jnp.bfloat16, interpret=True))
+    agree = float(np.mean(np.isclose(got, want, atol=2e-2)))
+    assert agree > 0.95, agree

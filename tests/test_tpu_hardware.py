@@ -30,6 +30,17 @@ def test_kernel_parity_on_hardware(tpu_backend):
     assert out["parity_ok_raw"], out
     assert out["parity_ok_state"], out
     assert out["parity_ok_mol_bf16"], out
+    assert out["parity_ok_mol_bf16_gates"], out
+
+
+def test_block_sparse_kernel_on_hardware(tpu_backend):
+    """Mask-specialized block-sparse kernel lowers through Mosaic and
+    matches the dense kernel exactly on block-pruned weights (timing +
+    parity also recorded by bench.py's kernel_variants_bench)."""
+    from wavernn_tpu.benchmarks import kernel_variants_bench
+
+    out = kernel_variants_bench(B=8, T=1024)
+    assert out["parity_ok_sparse"], out
 
 
 def test_generate_fast_waveform_sane_on_hardware(tpu_backend):

@@ -86,6 +86,22 @@ def parity_checks(B: int = 8, T: int = 512) -> dict:
         out["parity_mol_bf16_error"] = repr(e)[:200]
         _report("MOL bf16-weights", False, repr(e)[:200])
 
+    # ---- MOL, bf16 gates/state (VERDICT r1 item 7: measured either way) ----
+    try:
+        got_g16 = np.asarray(generate_pallas(
+            params, mels_up, aux, voc, dsp.bits, jax.random.PRNGKey(0),
+            noise=(u_mix, u_s), chunk=128, compute_dtype=jnp.bfloat16,
+            gates_dtype=jnp.bfloat16))
+        agree = float(np.mean(np.isclose(got_g16, want, atol=2e-2)))
+        out["parity_mol_bf16_gates_agree"] = agree
+        out["parity_ok_mol_bf16_gates"] = bool(agree > 0.95)
+        _report("MOL bf16-gates", out["parity_ok_mol_bf16_gates"],
+                f"agree={agree:.4f}")
+    except Exception as e:  # noqa: BLE001 — reported, not gated
+        out["parity_ok_mol_bf16_gates"] = False
+        out["parity_mol_bf16_gates_error"] = repr(e)[:200]
+        _report("MOL bf16-gates", False, repr(e)[:200])
+
     # ---- RAW ----
     voc_r = WaveRNNConfig(mode="RAW")
     params_r, mels_up_r, aux_r = make_inputs(voc_r)
@@ -133,6 +149,97 @@ def parity_checks(B: int = 8, T: int = 512) -> dict:
     return out
 
 
+def kernel_variants_bench(B: int = 128, T: int = 8192) -> dict:
+    """Per-step timing of the kernel variants on the live backend, plus the
+    block-sparse kernel's parity and speed ratio at the reference prune
+    target (93.75%, Pruning - Scratchpad.ipynb cells 4-5; VERDICT r1 items
+    2 and 7 ask for these measured numbers in the bench JSON).
+
+    Recorded findings from the tuning campaign (v5e, B=128): the sample
+    step is serial-latency/VMEM-traffic bound at ~21 us, so (a) bf16
+    weights ~= f32 weights, (b) bf16 gates are slightly SLOWER (casts
+    outweigh narrow ops), (c) the block-sparse kernel is ~10x slower
+    (column-block matmuls + lane gathers add serial latency; skipped MXU
+    FLOPs were never the bottleneck).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .config import DSPConfig, WaveRNNConfig
+    from .models import wavernn as wr
+    from .ops.pallas_gen import generate_pallas, generate_pallas_sparse
+    from .train.pruning import (PruneSpec, apply_masks, block_mask_from_matrix,
+                                init_masks)
+
+    dsp = DSPConfig()
+    voc = WaveRNNConfig(mode="MOL")
+    params = wr.init_wavernn(jax.random.PRNGKey(1), voc, dsp)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    mels_up = jax.random.normal(k1, (B, T, dsp.num_mels), jnp.float32) * 0.3
+    aux = jax.random.normal(k2, (B, T, voc.res_out_dims), jnp.float32) * 0.3
+    np.asarray(mels_up)  # fence input placement
+
+    def timeit(f, reps=5):
+        np.asarray(f(0))
+        ts = []
+        for i in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(f(i + 1))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts)) / T * 1e6  # us/step
+
+    out = {}
+    out["step_us_bf16_weights"] = round(timeit(
+        lambda k: generate_pallas(params, mels_up, aux, voc, dsp.bits,
+                                  jax.random.PRNGKey(k))), 2)
+    out["step_us_f32_weights"] = round(timeit(
+        lambda k: generate_pallas(params, mels_up, aux, voc, dsp.bits,
+                                  jax.random.PRNGKey(k),
+                                  compute_dtype=jnp.float32)), 2)
+    out["step_us_bf16_gates"] = round(timeit(
+        lambda k: generate_pallas(params, mels_up, aux, voc, dsp.bits,
+                                  jax.random.PRNGKey(k),
+                                  gates_dtype=jnp.bfloat16)), 2)
+
+    # block-sparse kernel at the reference's 93.75% target
+    spec = PruneSpec([(("rnn1", "wi"), 3), (("rnn1", "wh"), 3),
+                      (("rnn2", "wi"), 3), (("rnn2", "wh"), 3),
+                      (("fc1", "w"), 1), (("fc2", "w"), 1)])
+    masks = init_masks(params, spec)
+    for path, n_splits in spec.entries:
+        masks["/".join(path)] = block_mask_from_matrix(
+            params[path[0]][path[1]], jnp.asarray(0.9375), n_splits)
+    mparams = apply_masks(params, masks, spec)
+    out["step_us_dense_masked"] = round(timeit(
+        lambda k: generate_pallas(mparams, mels_up, aux, voc, dsp.bits,
+                                  jax.random.PRNGKey(k))), 2)
+    out["step_us_block_sparse"] = round(timeit(
+        lambda k: generate_pallas_sparse(mparams, mels_up, aux, voc, dsp.bits,
+                                         jax.random.PRNGKey(k))), 2)
+    # parity: sparse kernel vs dense kernel on masked weights, shared noise
+    Tp, Bp = 512, 8
+    nr_mix = voc.n_classes(dsp.bits) // 3
+    rng = np.random.RandomState(3)
+    mu = jnp.asarray(rng.randn(Bp, Tp, dsp.num_mels).astype(np.float32)) * 0.3
+    au = jnp.asarray(rng.randn(Bp, Tp, voc.res_out_dims).astype(np.float32)) * 0.3
+    noise = (jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (Tp, Bp, nr_mix))
+                         .astype(np.float32)),
+             jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (Tp, Bp))
+                         .astype(np.float32)))
+    want = np.asarray(generate_pallas(mparams, mu, au, voc, dsp.bits,
+                                      jax.random.PRNGKey(0), noise=noise,
+                                      compute_dtype=jnp.float32))
+    got = np.asarray(generate_pallas_sparse(mparams, mu, au, voc, dsp.bits,
+                                            jax.random.PRNGKey(0), noise=noise,
+                                            compute_dtype=jnp.float32))
+    err = float(np.max(np.abs(got - want)))
+    out["sparse_parity_maxerr"] = err
+    out["parity_ok_sparse"] = bool(err < PARITY_ATOL)
+    _report("variants", out["parity_ok_sparse"],
+            " ".join(f"{k}={v}" for k, v in out.items()))
+    return out
+
+
 def train_bench(steps: int = 30, batch_size: int = 32) -> dict:
     """Full-size WaveRNN-MOL training throughput (reference hot path #2,
     train_wavernn.py:98-162: bs 32, seq_len 1375 = 5*hop).
@@ -150,20 +257,30 @@ def train_bench(steps: int = 30, batch_size: int = 32) -> dict:
     seq_len = cfg.voc_train.seq_len
     state = wt.create_train_state(jax.random.PRNGKey(0), voc, dsp,
                                   cfg.voc_train.lr)
+    import jax.numpy as jnp
+
     rng = np.random.RandomState(0)
     mel_win = seq_len // dsp.hop_length + 2 * voc.pad
-    x = rng.uniform(-1, 1, (batch_size, seq_len)).astype(np.float32)
-    y = rng.uniform(-1, 1, (batch_size, seq_len)).astype(np.float32)
-    m = rng.uniform(0, 1, (batch_size, dsp.num_mels, mel_win)).astype(np.float32)
+    # stage the batch on device once — the production train_loop's prefetch
+    # thread does the same, so steady-state steps never wait on host->device
+    # transfers (re-shipping numpy per step would measure the tunnel)
+    x = jnp.asarray(rng.uniform(-1, 1, (batch_size, seq_len)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-1, 1, (batch_size, seq_len)).astype(np.float32))
+    m = jnp.asarray(rng.uniform(
+        0, 1, (batch_size, dsp.num_mels, mel_win)).astype(np.float32))
+    x.block_until_ready()
 
     def one(state):
         return wt.train_step(state, x, y, m, voc, dsp, cfg.voc_train.lr,
                              cfg.voc_train.clip_grad_norm)
 
     t0 = time.time()
-    state, metrics = one(state)
-    np.asarray(metrics["loss"])
-    print(f"train compile+1st step: {time.time() - t0:.1f}s", file=sys.stderr)
+    # the donated-state jit compiles a second (aliased-buffer) variant on
+    # the 2nd call — warm up past it, fenced, before timing
+    for _ in range(3):
+        state, metrics = one(state)
+        np.asarray(metrics["loss"])
+    print(f"train compile+warmup: {time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
     for _ in range(steps):

@@ -47,10 +47,10 @@ def _gates(gi, gh, h):
     return (1.0 - z) * n + z * h
 
 
-def _dot(a, w):
+def _dot(a, w, out_dtype=jnp.float32):
     return jax.lax.dot_general(
         a, w, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=out_dtype)
 
 
 SPARSE_BR, SPARSE_BC = 8, 128  # native f32 VMEM tile (sublane x lane)
@@ -113,7 +113,7 @@ _SPARSE_POS = {"wi1": 3, "wh1": 4, "wi2x": 7, "wi2a": 8, "wh2": 9,
 
 def _make_kernel(voc: WaveRNNConfig, bits: int, chunk: int, n_mels: int,
                  mol: bool, use_prng: bool, with_state: bool = False,
-                 snapshot_at=None, sparse=None):
+                 snapshot_at=None, sparse=None, gates_dtype=jnp.float32):
     R = voc.rnn_dims
     FC = voc.fc_dims
     A = voc.aux_dims
@@ -121,11 +121,15 @@ def _make_kernel(voc: WaveRNNConfig, bits: int, chunk: int, n_mels: int,
     nr_mix = n_classes // 3 if mol else 0
     C_IN = n_mels + A  # x-independent input-layer columns
     sparse = dict(sparse) if sparse else {}
+    gdtype = gates_dtype  # recurrence/gate compute + state precision
 
     def mm(op, w_ref, name):
         rows = sparse.get(name)
         if rows is None:
-            return _dot(op.astype(w_ref.dtype), w_ref[:])
+            # Mosaic requires a 32-bit matmul accumulator; drop to the gate
+            # dtype on the way out so the recurrence runs narrow
+            out = _dot(op.astype(w_ref.dtype), w_ref[:], jnp.float32)
+            return out if gdtype == jnp.float32 else out.astype(gdtype)
         return _sparse_mm(op, w_ref, rows)
 
     def kernel(seed_ref,  # SMEM (1,)
@@ -157,8 +161,8 @@ def _make_kernel(voc: WaveRNNConfig, bits: int, chunk: int, n_mels: int,
         @pl.when(step0)
         def _():
             if with_state:
-                h1_ref[:] = h1_0_ref[:]
-                h2_ref[:] = h2_0_ref[:]
+                h1_ref[:] = h1_0_ref[:].astype(gdtype)
+                h2_ref[:] = h2_0_ref[:].astype(gdtype)
                 x_ref[:] = x_0_ref[:]
                 snap_h1_ref[:] = jnp.zeros_like(snap_h1_ref)
                 snap_h2_ref[:] = jnp.zeros_like(snap_h2_ref)
@@ -179,13 +183,15 @@ def _make_kernel(voc: WaveRNNConfig, bits: int, chunk: int, n_mels: int,
                 # record the state *entering* the global snapshot step
                 @pl.when(prog * chunk + i == snapshot_at)
                 def _():
-                    snap_h1_ref[:] = h1_ref[:]
-                    snap_h2_ref[:] = h2_ref[:]
+                    snap_h1_ref[:] = h1_ref[:].astype(jnp.float32)
+                    snap_h2_ref[:] = h2_ref[:].astype(jnp.float32)
                     snap_x_ref[:] = x_ref[:]
 
             cdtype = w_Ic_ref.dtype
+            # inp accumulates in f32 (the x autoregressive path is the
+            # numerically sensitive one), then drops to the gate dtype
             inp = (_dot(cond[:, :C_IN].astype(cdtype), w_Ic_ref[:])
-                   + x * w_Ix_ref[:] + b_I_ref[:])
+                   + x * w_Ix_ref[:] + b_I_ref[:]).astype(gdtype)
             gi1 = mm(inp, wi1_ref, "wi1") + bi1_ref[:]
             gh1 = mm(h1, wh1_ref, "wh1") + bh1_ref[:]
             h1 = _gates(gi1, gh1, h1)
@@ -249,12 +255,13 @@ def _make_kernel(voc: WaveRNNConfig, bits: int, chunk: int, n_mels: int,
 
 @partial(jax.jit,
          static_argnames=("voc", "bits", "chunk", "compute_dtype", "interpret",
-                          "state_snapshot_at"))
+                          "state_snapshot_at", "gates_dtype"))
 def generate_pallas_with_state(params, mels_up, aux, voc: WaveRNNConfig,
                                bits: int, key, noise=None, chunk: int = 128,
                                compute_dtype=jnp.bfloat16,
                                interpret: bool = False, init_state=None,
-                               state_snapshot_at: int = 0):
+                               state_snapshot_at: int = 0,
+                               gates_dtype=jnp.float32):
     """Sample-loop kernel with RNN-state I/O (exact-seam fold handoff).
 
     init_state: optional (h1, h2, x) with x shape (B,) to resume from.
@@ -264,14 +271,17 @@ def generate_pallas_with_state(params, mels_up, aux, voc: WaveRNNConfig,
     return _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise,
                                  chunk, compute_dtype, interpret,
                                  with_state=True, init_state=init_state,
-                                 state_snapshot_at=state_snapshot_at)
+                                 state_snapshot_at=state_snapshot_at,
+                                 gates_dtype=gates_dtype)
 
 
 @partial(jax.jit,
-         static_argnames=("voc", "bits", "chunk", "compute_dtype", "interpret"))
+         static_argnames=("voc", "bits", "chunk", "compute_dtype", "interpret",
+                          "gates_dtype"))
 def generate_pallas(params, mels_up, aux, voc: WaveRNNConfig, bits: int, key,
                     noise=None, chunk: int = 128,
-                    compute_dtype=jnp.bfloat16, interpret: bool = False):
+                    compute_dtype=jnp.bfloat16, interpret: bool = False,
+                    gates_dtype=jnp.float32):
     """Run the persistent-weights sample loop. Mirrors generate_scan's API.
 
     mels_up: (B, T, n_mels); aux: (B, T, 4*aux_dims).
@@ -280,7 +290,8 @@ def generate_pallas(params, mels_up, aux, voc: WaveRNNConfig, bits: int, key,
     return _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise,
                                  chunk, compute_dtype, interpret,
                                  with_state=False, init_state=None,
-                                 state_snapshot_at=None)
+                                 state_snapshot_at=None,
+                                 gates_dtype=gates_dtype)
 
 
 @partial(jax.jit,
@@ -352,7 +363,7 @@ def generate_pallas_sparse(params, mels_up, aux, voc: WaveRNNConfig, bits: int,
 def _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise, chunk,
                           compute_dtype, interpret, with_state, init_state,
                           state_snapshot_at, sparse_static=(),
-                          sparse_arrays=()):
+                          sparse_arrays=(), gates_dtype=jnp.float32):
     B, T, n_mels = mels_up.shape
     R, FC, A = voc.rnn_dims, voc.fc_dims, voc.aux_dims
     n_classes = voc.n_classes(bits)
@@ -391,22 +402,25 @@ def _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise, chunk,
                               dtype=jnp.int32)
 
     cd = compute_dtype
+    gd = gates_dtype  # gate-path biases live in the gate dtype so the
+    # bf16 recurrence never upcasts (b_I and b3 stay f32: the x path and
+    # the logits are the numerically sensitive ends)
     w_I = params["I"]["w"]
     weights = [
         w_I[1:].astype(cd),                      # w_Ic (n_mels+A, R)
         w_I[0:1].astype(jnp.float32),            # w_Ix (1, R)
         params["I"]["b"][None].astype(jnp.float32),
         params["rnn1"]["wi"].astype(cd), params["rnn1"]["wh"].astype(cd),
-        params["rnn1"]["bi"][None].astype(jnp.float32),
-        params["rnn1"]["bh"][None].astype(jnp.float32),
+        params["rnn1"]["bi"][None].astype(gd),
+        params["rnn1"]["bh"][None].astype(gd),
         params["rnn2"]["wi"][:R].astype(cd), params["rnn2"]["wi"][R:].astype(cd),
         params["rnn2"]["wh"].astype(cd),
-        params["rnn2"]["bi"][None].astype(jnp.float32),
-        params["rnn2"]["bh"][None].astype(jnp.float32),
+        params["rnn2"]["bi"][None].astype(gd),
+        params["rnn2"]["bh"][None].astype(gd),
         params["fc1"]["w"][:R].astype(cd), params["fc1"]["w"][R:].astype(cd),
-        params["fc1"]["b"][None].astype(jnp.float32),
+        params["fc1"]["b"][None].astype(gd),
         params["fc2"]["w"][:FC].astype(cd), params["fc2"]["w"][FC:].astype(cd),
-        params["fc2"]["b"][None].astype(jnp.float32),
+        params["fc2"]["b"][None].astype(gd),
         params["fc3"]["w"].astype(cd),
         params["fc3"]["b"][None].astype(jnp.float32),
     ]
@@ -427,9 +441,9 @@ def _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise, chunk,
     ] + [const_spec(w.shape) for w in weights]
 
     scratch = [
-        pltpu.VMEM((B, R), jnp.float32),
-        pltpu.VMEM((B, R), jnp.float32),
-        pltpu.VMEM((B, 128), jnp.float32),
+        pltpu.VMEM((B, R), gd),               # h1
+        pltpu.VMEM((B, R), gd),               # h2
+        pltpu.VMEM((B, 128), jnp.float32),    # x (autoregressive sample)
         pltpu.VMEM((B, chunk), jnp.float32),  # sample accumulator
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -443,7 +457,7 @@ def _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise, chunk,
 
     if not with_state:
         kernel = _make_kernel(voc, bits, chunk, n_mels, mol, use_prng,
-                              sparse=sparse_static)
+                              sparse=sparse_static, gates_dtype=gd)
         out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -479,7 +493,7 @@ def _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise, chunk,
     )
     kernel = _make_kernel(voc, bits, chunk, n_mels, mol, use_prng,
                           with_state=True, snapshot_at=state_snapshot_at,
-                          sparse=sparse_static)
+                          sparse=sparse_static, gates_dtype=gd)
     out, s_h1, s_h2, s_x = pl.pallas_call(
         kernel,
         grid_spec=grid_spec_state,
