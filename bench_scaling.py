@@ -19,12 +19,14 @@ import time
 import numpy as np
 
 
-def fold_batch_sweep(steps: int = 2048, batches=(1, 2, 4, 8, 16, 32, 64, 128)):
+def fold_batch_sweep(steps: int = 16384, batches=(1, 2, 4, 8, 16, 32, 64, 128)):
     """Single-chip saturation curve: sample-kernel throughput vs fold batch.
 
     The sample loop is latency-bound per step, so samples/s should scale
-    near-linearly with the fold batch until VPU/MXU throughput saturates —
+    near-linearly with the fold batch until per-step cost starts growing —
     this measures where (BASELINE.md scaling row, 1-chip granularity).
+    Long runs + a scalar-reduction fence keep the per-launch tunnel
+    overhead (~35 ms) and the wav export out of the marginal number.
     """
     import jax
     import jax.numpy as jnp
@@ -36,21 +38,23 @@ def fold_batch_sweep(steps: int = 2048, batches=(1, 2, 4, 8, 16, 32, 64, 128)):
     dsp = DSPConfig()
     voc = WaveRNNConfig(mode="MOL")
     params = wr.init_wavernn(jax.random.PRNGKey(1), voc, dsp)
-    rng = np.random.RandomState(0)
     curve = {}
     for B in batches:
-        mels_up = jnp.asarray(
-            rng.randn(B, steps, dsp.num_mels).astype(np.float32)) * 0.3
-        aux = jnp.asarray(
-            rng.randn(B, steps, voc.res_out_dims).astype(np.float32)) * 0.3
+        k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+        mels_up = jax.random.normal(k1, (B, steps, dsp.num_mels),
+                                    jnp.float32) * 0.3
+        aux = jax.random.normal(k2, (B, steps, voc.res_out_dims),
+                                jnp.float32) * 0.3
+        np.asarray(jnp.sum(mels_up))  # fence input placement
 
         def run(k):
-            return np.asarray(generate_pallas(params, mels_up, aux, voc,
-                                              dsp.bits, jax.random.PRNGKey(k)))
+            wav = generate_pallas(params, mels_up, aux, voc, dsp.bits,
+                                  jax.random.PRNGKey(k))
+            np.asarray(jnp.sum(wav))  # fences compute, skips bulk export
 
         run(0)  # compile
         ts = []
-        for i in range(3):
+        for i in range(5):
             t0 = time.perf_counter()
             run(i + 1)
             ts.append(time.perf_counter() - t0)

@@ -177,14 +177,16 @@ def kernel_variants_bench(B: int = 128, T: int = 8192) -> dict:
     k1, k2 = jax.random.split(jax.random.PRNGKey(7))
     mels_up = jax.random.normal(k1, (B, T, dsp.num_mels), jnp.float32) * 0.3
     aux = jax.random.normal(k2, (B, T, voc.res_out_dims), jnp.float32) * 0.3
-    np.asarray(mels_up)  # fence input placement
+    np.asarray(jnp.sum(mels_up))  # fence input placement
 
     def timeit(f, reps=5):
-        np.asarray(f(0))
+        # scalar-reduction fence: bulk np.asarray exports MBs through the
+        # tunnel (~tens of MB/s) and would dominate the timing
+        np.asarray(jnp.sum(f(0)))
         ts = []
         for i in range(reps):
             t0 = time.perf_counter()
-            np.asarray(f(i + 1))
+            np.asarray(jnp.sum(f(i + 1)))
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts)) / T * 1e6  # us/step
 

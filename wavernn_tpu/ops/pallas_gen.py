@@ -326,12 +326,12 @@ def generate_pallas_sparse(params, mels_up, aux, voc: WaveRNNConfig, bits: int,
     Matrices that are not block-sparse (>50% live blocks, e.g. unstructured
     masks) stay dense automatically; fc3 (n_classes columns) always dense.
 
-    Measured reality on v5e (B=128 folds, 93.75% block sparsity): ~10x
-    SLOWER per step than the dense kernel. The sample step is bound by the
-    serial per-step dependency chain, not MXU throughput — splitting each
-    state matmul into ~12 column-block matmuls plus 8-lane gathers adds
-    serial latency that dwarfs the skipped FLOPs. Kept as the numerically
-    exact consumer of block masks (and the honest record of why fine-grained
+    Measured reality on v5e (B=128 folds, 93.75% block sparsity): ~7x
+    SLOWER per step than the dense kernel (71.8 vs 10.5 us/step). The
+    sample step is near its MXU+VPU budget already — splitting each state
+    matmul into ~12 column-block matmuls plus 8-lane gathers adds serial
+    latency that dwarfs the skipped FLOPs. Kept as the numerically exact
+    consumer of block masks (and the honest record of why fine-grained
     sparsity does not pay on TPU at this model size); prefer the dense
     kernel, which multiplies the zeros for free.
     """
