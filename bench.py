@@ -66,7 +66,11 @@ def main():
     wav = np.asarray(run(jax.random.PRNGKey(0)))
     print(f"warmup (incl. compile): {time.time() - t0:.1f}s", file=sys.stderr)
     assert wav.shape == (wave_len,)
-    assert np.all(np.abs(wav) <= 1.0) and float(np.std(wav)) > 1e-4
+    # per-fold samples are clamped to [-1,1]; the equal-power crossfade can
+    # sum overlapping folds to at most sqrt(2) (reached only by untrained
+    # near-full-scale output like this random-weights model)
+    assert np.all(np.abs(wav) <= np.sqrt(2) + 1e-5), float(np.max(np.abs(wav)))
+    assert np.isfinite(wav).all() and float(np.std(wav)) > 1e-4
 
     times = []
     for i in range(6):

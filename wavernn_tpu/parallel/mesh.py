@@ -61,6 +61,10 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
 
     Reads JAX_COORDINATOR / JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars
     (set by scripts/submit.sh) when arguments are omitted.
+
+    On a CPU backend, cross-process collectives need an explicit transport;
+    select gloo-over-TCP (the TPU backend ignores this and uses ICI/DCN).
+    Exercised with real multiple processes in tests/test_multiprocess.py.
     """
     import os
     if coordinator_address is None:
@@ -71,6 +75,28 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         process_id = int(os.environ.get("JAX_PROCESS_ID", "0"))
     if num_processes is None or num_processes <= 1:
         return
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:  # older jaxlib without pluggable CPU collectives
+        pass
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)
+
+
+def make_global_array(mesh: Mesh, full_array, spec: Optional[P] = None):
+    """Assemble a globally-sharded jax.Array from a full (global-shape)
+    host array that every process constructed identically (the seeded
+    batcher guarantees this: both the vocoder split and the binned sampler
+    derive from explicit seeds, data/dataset.py).
+
+    Each process contributes only the shards its local devices own —
+    the callback is evaluated per addressable shard, so no cross-process
+    data movement happens here.
+    """
+    if spec is None:
+        spec = P("data")
+    sharding = NamedSharding(mesh, spec)
+    full_array = np.asarray(full_array)
+    return jax.make_array_from_callback(full_array.shape, sharding,
+                                        lambda idx: full_array[idx])
