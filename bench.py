@@ -98,6 +98,7 @@ def main():
     if "train" not in skip:
         result.update(benchmarks.train_bench())
     if "tts" not in skip:
+        result.update(benchmarks.taco_decode_bench())
         result.update(benchmarks.tts_e2e_bench())
     print(json.dumps(result))
 

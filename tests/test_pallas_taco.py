@@ -1,0 +1,120 @@
+"""Parity: Pallas Tacotron decode kernel vs the XLA scan oracle.
+
+Interpret mode on CPU (Mosaic-lowering behavior is covered by the
+hardware tier in tests/test_tpu_hardware.py and the bench parity gate).
+"""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wavernn_tpu.config import TacotronConfig
+from wavernn_tpu.models import tacotron as taco
+from wavernn_tpu.ops.pallas_taco import decode_pallas
+
+N_MELS = 80
+
+
+def _tts(**kw):
+    # full-size decoder dims (the kernel's production shapes); small
+    # encoder/postnet to keep the XLA halves quick
+    base = dict(embed_dims=32, encoder_dims=128, decoder_dims=256,
+                postnet_dims=32, encoder_K=2, lstm_dims=512, postnet_K=2,
+                num_highways=1)
+    base.update(kw)
+    return TacotronConfig(**base)
+
+
+def _setup(tts, T_text=70, seed=0):
+    params = taco.init_tacotron(jax.random.PRNGKey(seed), tts, N_MELS)
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randint(1, 148, (1, T_text)))
+    k = jax.random.PRNGKey(3)
+    enc, _ = taco.encoder_apply(params["encoder"], x, k, False, tts.dropout)
+    encp = taco.L.linear(params["encoder_proj"], enc)
+    mask = jnp.ones((T_text,), jnp.float32)
+    return params, x, enc, encp, mask
+
+
+def _scan_decoder_outputs(params, x, tts, r, steps):
+    mel, linear, attn, n_valid = taco._generate_scan(
+        params, x, tts, r, steps, N_MELS, jax.random.PRNGKey(3))
+    return np.asarray(mel), np.asarray(attn), np.asarray(n_valid)
+
+
+@pytest.mark.parametrize("r", [2, 5])
+def test_decode_parity_no_stop(r):
+    """Fresh xavier weights never hit the stop threshold: every group is a
+    live decode step — checks the full recurrence (attention state, LSTM
+    carries, frame-major mel layout)."""
+    tts = _tts()
+    params, x, enc, encp, mask = _setup(tts)
+    steps = -(-130 // r) * r
+    mel_k, attn_k, nv_k = decode_pallas(params, enc, encp, mask, tts, r,
+                                        steps, N_MELS, interpret=True)
+    mel_s, attn_s, nv_s = _scan_decoder_outputs(params, x, tts, r, steps)
+
+    assert int(nv_k[0]) == int(nv_s[0]) == steps // r
+    np.testing.assert_allclose(np.asarray(mel_k), mel_s, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(attn_k), attn_s, atol=2e-5)
+
+
+def test_decode_parity_early_stop_and_freeze():
+    """stop_threshold=+10 forces the stop at the first group with t > 10;
+    the kernel must freeze state, replay the frozen-state group for the
+    remaining output (exactly what the scan's frozen-state recompute
+    emits), and report the same n_valid."""
+    r = 2
+    tts = dataclasses.replace(_tts(), stop_threshold=10.0)
+    params, x, enc, encp, mask = _setup(tts, seed=1)
+    steps = 64
+    mel_k, attn_k, nv_k = decode_pallas(params, enc, encp, mask, tts, r,
+                                        steps, N_MELS, interpret=True)
+    mel_s, attn_s, nv_s = _scan_decoder_outputs(params, x, tts, r, steps)
+
+    assert int(nv_k[0]) == int(nv_s[0]) < steps // r
+    np.testing.assert_allclose(np.asarray(mel_k), mel_s, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(attn_k), attn_s, atol=2e-5)
+    # the replay really is frozen: trailing groups identical
+    tail = np.asarray(mel_k)[0, :, -r:]
+    np.testing.assert_array_equal(np.asarray(mel_k)[0, :, -2 * r:-r], tail)
+
+
+def test_generate_kernel_full_pipeline():
+    """`generate(impl=...)` end-to-end (encoder + kernel decode + postnet)
+    matches the scan implementation, including the n_valid trim."""
+    tts = _tts()
+    params = taco.init_tacotron(jax.random.PRNGKey(2), tts, N_MELS)
+    rng = np.random.RandomState(2)
+    ids = rng.randint(1, 148, (40,))
+
+    # interpret-mode kernel via the jitted wrapper
+    x = jnp.asarray(ids)[None]
+    mel_k, lin_k, attn_k, nv_k = taco._generate_kernel(
+        params, x, tts, 2, 120, N_MELS, jax.random.PRNGKey(0),
+        interpret=True)
+    mel_s, lin_s, attn_s, nv_s = taco._generate_scan(
+        params, x, tts, 2, 120, N_MELS, jax.random.PRNGKey(0))
+    assert int(nv_k[0]) == int(nv_s[0])
+    np.testing.assert_allclose(np.asarray(mel_k), np.asarray(mel_s),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(lin_k), np.asarray(lin_s),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(attn_k), np.asarray(attn_s),
+                               atol=2e-5)
+
+
+def test_long_text_padding():
+    """T_text above 113 crosses into the next 128-lane tile (the zero-wrap
+    invariant pads to T_text + 15): the banded rolls must stay exact."""
+    tts = _tts()
+    params, x, enc, encp, mask = _setup(tts, T_text=150, seed=4)
+    steps = 40
+    mel_k, attn_k, nv_k = decode_pallas(params, enc, encp, mask, tts, 2,
+                                        steps, N_MELS, interpret=True)
+    mel_s, attn_s, nv_s = _scan_decoder_outputs(params, x, tts, 2, steps)
+    assert int(nv_k[0]) == int(nv_s[0])
+    np.testing.assert_allclose(np.asarray(mel_k), mel_s, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(attn_k), attn_s, atol=2e-5)

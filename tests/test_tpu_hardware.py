@@ -60,5 +60,35 @@ def test_generate_fast_waveform_sane_on_hardware(tpu_backend):
                                       jax.random.PRNGKey(0)))
     assert wav.shape == ((frames - 1) * cfg.dsp.hop_length,)
     assert np.all(np.isfinite(wav))
-    assert np.abs(wav).max() <= 1.0 + 1e-6
+    # per-fold samples are in [-1,1]; equal-power crossfade of untrained
+    # near-full-scale folds can legitimately sum to sqrt(2) in overlaps
+    assert np.abs(wav).max() <= np.sqrt(2) + 1e-5
     assert np.abs(wav).std() > 1e-4  # not silence/constant
+
+
+def test_tacotron_decode_kernel_on_hardware(tpu_backend):
+    """Persistent-weights Tacotron decode kernel (ops/pallas_taco.py) vs
+    the scan oracle on silicon: full-size decoder, r=2, 500 groups."""
+    import jax
+    import jax.numpy as jnp
+
+    from wavernn_tpu.config import Config
+    from wavernn_tpu.models import tacotron as taco
+
+    cfg = Config()
+    params = taco.init_tacotron(jax.random.PRNGKey(0), cfg.tts,
+                                cfg.dsp.num_mels)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randint(1, 148, (1, 70)))
+    key = jax.random.PRNGKey(3)
+    mel_k, lin_k, attn_k, nv_k = taco._generate_kernel(
+        params, x, cfg.tts, 2, 1000, cfg.dsp.num_mels, key)
+    mel_s, lin_s, attn_s, nv_s = taco._generate_scan(
+        params, x, cfg.tts, 2, 1000, cfg.dsp.num_mels, key)
+    assert int(nv_k[0]) == int(nv_s[0])
+    np.testing.assert_allclose(np.asarray(attn_k), np.asarray(attn_s),
+                               atol=5e-4)
+    # autoregressive f32 trajectories accumulate rounding differences
+    # (different matmul tilings); lockstep keeps them at noise level
+    np.testing.assert_allclose(np.asarray(mel_k), np.asarray(mel_s),
+                               atol=5e-3)

@@ -296,6 +296,64 @@ def train_bench(steps: int = 30, batch_size: int = 32) -> dict:
             "train_batch_size": batch_size, "train_seq_len": seq_len}
 
 
+def taco_decode_bench() -> dict:
+    """Tacotron free-running decode: persistent-weights Pallas kernel
+    (ops/pallas_taco.py) vs the XLA scan, on the live backend.
+
+    Marginal per-group cost via a steps sweep (1024 -> 8192) — short
+    launches through the axon tunnel carry ~35 ms of launch overhead that
+    would otherwise swamp the millisecond-scale decode. Plus a hardware
+    parity gate (same encoder outputs through both implementations)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .config import Config
+    from .models import tacotron as taco
+
+    cfg = Config()
+    r = 2
+    params = taco.init_tacotron(jax.random.PRNGKey(0), cfg.tts,
+                                cfg.dsp.num_mels)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randint(1, 148, (1, 70)))
+    key = jax.random.PRNGKey(3)
+
+    out = {}
+    # parity gate on silicon (full-size decoder, 500 live groups)
+    mel_k, _, attn_k, nv_k = taco._generate_kernel(params, x, cfg.tts, r,
+                                                   1000, cfg.dsp.num_mels,
+                                                   key)
+    mel_s, _, attn_s, nv_s = taco._generate_scan(params, x, cfg.tts, r,
+                                                 1000, cfg.dsp.num_mels, key)
+    err = float(jnp.max(jnp.abs(mel_k - mel_s)))
+    err_a = float(jnp.max(jnp.abs(attn_k - attn_s)))
+    out["taco_kernel_mel_maxerr"] = err
+    out["parity_ok_taco_kernel"] = bool(
+        int(nv_k[0]) == int(nv_s[0]) and err < 5e-3 and err_a < 5e-4)
+
+    def marginal(f):
+        def timeit(s, reps=5):
+            np.asarray(jnp.sum(f(s)))
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                np.asarray(jnp.sum(f(s)))
+                ts.append(time.perf_counter() - t0)
+            return float(np.median(ts))
+        return (timeit(8192) - timeit(1024)) / ((8192 - 1024) // r) * 1e6
+
+    out["taco_group_us_kernel"] = round(marginal(
+        lambda s: taco._generate_kernel(params, x, cfg.tts, r, s,
+                                        cfg.dsp.num_mels, key)[0]), 2)
+    out["taco_group_us_scan"] = round(marginal(
+        lambda s: taco._generate_scan(params, x, cfg.tts, r, s,
+                                      cfg.dsp.num_mels, key)[0]), 2)
+    _report("taco-decode", out["parity_ok_taco_kernel"],
+            f"kernel {out['taco_group_us_kernel']} us/group vs scan "
+            f"{out['taco_group_us_scan']} us/group, mel maxerr {err:.2e}")
+    return out
+
+
 def tts_e2e_bench(text: str | None = None, steps: int = 1000) -> dict:
     """End-to-end text->mel->wav latency on one chip (quick_start.py:108-120
     path), per-stage breakdown. Freshly-initialized weights never hit the

@@ -458,17 +458,52 @@ def _generate_scan(params, x_ids, tts: TacotronConfig, r: int, steps: int,
     return mel_out, linear, attn, n_valid_groups
 
 
+@partial(jax.jit, static_argnames=("tts", "r", "steps", "n_mels",
+                                   "interpret"))
+def _generate_kernel(params, x_ids, tts: TacotronConfig, r: int, steps: int,
+                     n_mels: int, key, interpret: bool = False):
+    """Free-running decode on the persistent-weights Pallas kernel
+    (ops/pallas_taco.py): encoder + postnet stay XLA, the sequential
+    group loop runs in one kernel launch. Same outputs as
+    `_generate_scan` (decode consumes no randomness at eval)."""
+    from ..ops.pallas_taco import decode_pallas
+
+    k_enc, _ = jax.random.split(key)
+    encoder_seq, _ = encoder_apply(params["encoder"], x_ids, k_enc, False,
+                                   tts.dropout)
+    encoder_seq_proj = L.linear(params["encoder_proj"], encoder_seq)
+    mask = jnp.ones((x_ids.shape[1],), jnp.float32)  # batch=1: no padding
+    mel_out, attn, n_valid = decode_pallas(params, encoder_seq,
+                                           encoder_seq_proj, mask, tts, r,
+                                           steps, n_mels,
+                                           interpret=interpret)
+    postnet_out, _ = cbhg_apply(params["postnet"], mel_out, False)
+    linear = L.linear(params["post_proj"], postnet_out)
+    linear = jnp.swapaxes(linear, 1, 2)
+    return mel_out, linear, attn, n_valid
+
+
 def generate(params, x_ids, tts: TacotronConfig, r: int, n_mels: int = 80,
-             steps: int = 2000, key=None):
+             steps: int = 2000, key=None, impl: str = "auto"):
     """Free-running inference (tacotron.py:420-480): batch=1 text ids ->
     (mel (n_mels, T), linear (n_mels, T), attn (T//r, T_text)) numpy, trimmed
-    at the stop-threshold group."""
+    at the stop-threshold group.
+
+    impl: "pallas" (persistent-weights decode kernel), "scan" (XLA
+    lax.scan), or "auto" = pallas on TPU backends, scan elsewhere.
+    """
     if key is None:
         key = jax.random.PRNGKey(0)
+    if impl == "auto":
+        impl = "pallas" if jax.devices()[0].platform == "tpu" else "scan"
     x = jnp.asarray(x_ids)[None, :]
     steps = -(-steps // r) * r
-    mel, linear, attn, n_valid = _generate_scan(params, x, tts, r, steps,
-                                                n_mels, key)
+    if impl == "pallas":
+        mel, linear, attn, n_valid = _generate_kernel(params, x, tts, r,
+                                                      steps, n_mels, key)
+    else:
+        mel, linear, attn, n_valid = _generate_scan(params, x, tts, r, steps,
+                                                    n_mels, key)
     n = int(n_valid[0])  # groups up to and including the stop trigger
     T = min(n * r, steps)
     return (np.asarray(mel[0, :, :T]), np.asarray(linear[0, :, :T]),

@@ -1,0 +1,322 @@
+"""Pallas TPU kernel: persistent-weights Tacotron free-running decode.
+
+The reference's hot serving loop is the Python decoder loop at batch=1
+(tacotron.py:420-480: prenet -> attention GRUCell -> LSA smooth attention
+-> 2x LSTMCells -> mel_proj, one iteration per r-frame group). The scan
+twin (`models/tacotron._generate_scan`) compiles it, but at batch=1 each
+group still costs ~100 us of XLA per-op latency. Here the ENTIRE decode
+runs inside one kernel launch:
+
+  * every decoder weight (~5.9M params, incl. both 512-unit LSTMs) lives
+    in VMEM for all steps/r groups — zero per-step HBM weight traffic;
+  * the LSA location features (Conv1d(2->32, k=31) over the cumulative /
+    previous attention maps, tacotron.py:187-205) are computed with 31
+    static sublane `pltpu.roll`s of the attention state + rank-1 VPU
+    accumulation, then one MXU matmul folds in the 32->decoder_dims
+    projection; the (T_text, d) energy plane never leaves VMEM;
+  * smooth-attention normalization (sigmoid / sum, tacotron.py:200), the
+    context contraction against the encoder sequence, and the stop
+    threshold all run in-kernel;
+  * the per-utterance stop (tacotron.py:407-416) freezes the state and
+    REPLAYS the frozen-state output group (computed once) for the
+    remaining groups — bit-matching `_generate_scan`'s frozen-state
+    semantics while making trailing groups nearly free.
+
+Layouts: the attention axis T_text lives on SUBLANES (column vectors /
+(T_pad, d) planes) so the conv rolls, the energy reduction, and the
+context contraction are all native MXU/VPU shapes; per-group RNN state
+rows are (8, d) sublane-major with row 0 live (batch=1 serving — the
+batched serving path stays on the XLA scan).
+
+Zero-wrap invariant: rolls are circular, but attention state is zero
+beyond T_text and scores are masked, so with T_text <= T_pad - 15 (conv
+half-width) every wrapped lane lands on a zero or a masked row — the
+wrapper enforces that padding.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import TacotronConfig
+
+G_CHUNK = 128     # decode groups per grid step (= output lane tile)
+CONV_K = 31       # LSA location conv kernel size (tacotron.py:176)
+CONV_HALF = 15
+
+
+def _sig(x):
+    # sigmoid(x) == 0.5*tanh(x/2)+0.5: one transcendental kind on the VPU
+    return 0.5 * jnp.tanh(0.5 * x) + 0.5
+
+
+def _dot(a, w):
+    return jax.lax.dot_general(
+        a, w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _gru(gi, gh, h):
+    H = h.shape[-1]
+    r = _sig(gi[:, :H] + gh[:, :H])
+    z = _sig(gi[:, H:2 * H] + gh[:, H:2 * H])
+    n = jnp.tanh(gi[:, 2 * H:] + r * gh[:, 2 * H:])
+    return (1.0 - z) * n + z * h
+
+
+def _lstm(g, h, c):
+    H = h.shape[-1]
+    i = _sig(g[:, :H])
+    f = _sig(g[:, H:2 * H])
+    gg = jnp.tanh(g[:, 2 * H:3 * H])
+    o = _sig(g[:, 3 * H:])
+    c = f * c + i * gg
+    return o * jnp.tanh(c), c
+
+
+def _make_kernel(r: int, n_mels: int, T_pad: int, F: int,
+                 stop_threshold: float):
+    """F = r * n_mels valid mel lanes per group (frame-major)."""
+
+    def kernel(enc_ref,      # (T_pad, E)   encoder sequence
+               encp_ref,     # (T_pad, D)   encoder_seq_proj
+               mask_ref,     # (T_pad, 128) 1.0 where t < T_text
+               w1p_ref, b1_ref, w2p_ref, b2_ref,          # prenet
+               awi_ref, abi_ref, awh_ref, abh_ref,        # attn GRU
+               wq_ref, qb_ref,                            # query proj (+Lb)
+               w0_ref, w1c_ref, lw_ref, v_ref,            # LSA conv/L/v
+               wr_ref, br_ref,                            # rnn_input
+               l1wi_ref, l1wh_ref, l1b_ref,               # LSTM 1
+               l2wi_ref, l2wh_ref, l2b_ref,               # LSTM 2
+               wm_ref,                                    # mel_proj (perm)
+               mel_out_ref,   # (G_CHUNK, F_pad)
+               att_out_ref,   # (T_pad, G_CHUNK)
+               stop_out_ref,  # (8, G_CHUNK)  row 0: stopped-before flag
+               ah_ref, h1_ref, c1_ref, h2_ref, c2_ref,    # RNN state
+               ctx_ref, prev_ref,                         # context, GO frame
+               cumatt_ref,    # (T_pad, 128): col0 cumulative, col1 attention
+               hold_mel_ref, hold_att_ref,                # frozen replay
+               flags_ref):   # SMEM (2,): [stopped, hold_valid]
+        prog = pl.program_id(0)
+
+        @pl.when(prog == 0)
+        def _():
+            for ref in (ah_ref, h1_ref, c1_ref, h2_ref, c2_ref, ctx_ref,
+                        prev_ref, cumatt_ref, hold_mel_ref, hold_att_ref):
+                ref[:] = jnp.zeros_like(ref)
+            flags_ref[0] = 0
+            flags_ref[1] = 0
+
+        lane_T = jax.lax.broadcasted_iota(jnp.int32, (T_pad, G_CHUNK), 1)
+        lane_8 = jax.lax.broadcasted_iota(jnp.int32, (8, G_CHUNK), 1)
+
+        def body(i, _):
+            g = prog * G_CHUNK + i
+            stopped = flags_ref[0]
+
+            @pl.when(jnp.logical_or(stopped == 0, flags_ref[1] == 0))
+            def _():
+                # ---- one decoder group step (tacotron.py:229-286) ----
+                p1 = jnp.maximum(_dot(prev_ref[:], w1p_ref[:]) + b1_ref[:],
+                                 0.0)
+                p2 = jnp.maximum(_dot(p1, w2p_ref[:]) + b2_ref[:], 0.0)
+                inp = jnp.concatenate([ctx_ref[:], p2], axis=1)
+                gi = _dot(inp, awi_ref[:]) + abi_ref[:]
+                gh = _dot(ah_ref[:], awh_ref[:]) + abh_ref[:]
+                ah = _gru(gi, gh, ah_ref[:])
+
+                # ---- LSA smooth attention (tacotron.py:187-205) ----
+                ca = cumatt_ref[:, 0:2]                     # (T_pad, 2)
+                loc = jnp.zeros((T_pad, 128), jnp.float32)
+                for k in range(CONV_K):
+                    # loc[t] += ca[t + k - 15] * w[k]  (conv, padding 15);
+                    # circular wrap is safe: see zero-wrap invariant above
+                    # (roll requires a non-negative shift: mod T_pad)
+                    sh = pltpu.roll(ca, (CONV_HALF - k) % T_pad, axis=0)
+                    loc = (loc + sh[:, 0:1] * w0_ref[k:k + 1, :]
+                           + sh[:, 1:2] * w1c_ref[k:k + 1, :])
+                locL = _dot(loc, lw_ref[:])                 # (T_pad, D)
+                q = (_dot(ah, wq_ref[:]) + qb_ref[:])[0:1]  # (1, D) + Lb
+                arg = jnp.tanh(locL + encp_ref[:]
+                               + jnp.broadcast_to(q, locL.shape))
+                u = _dot(arg, v_ref[:])[:, 0:1]             # (T_pad, 1)
+                sig = _sig(u) * mask_ref[:, 0:1]
+                scores = sig / jnp.sum(sig)                 # (T_pad, 1)
+                ctx = jax.lax.dot_general(                  # (1, E)
+                    scores, enc_ref[:],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                ctx8 = jnp.broadcast_to(ctx, (8, ctx.shape[1]))
+
+                # ---- residual zoneout LSTMs (eval: passthrough) ----
+                x = _dot(jnp.concatenate([ctx8, ah], axis=1), wr_ref[:]) \
+                    + br_ref[:]
+                h1, c1 = _lstm(_dot(x, l1wi_ref[:])
+                               + _dot(h1_ref[:], l1wh_ref[:]) + l1b_ref[:],
+                               h1_ref[:], c1_ref[:])
+                x = x + h1
+                h2, c2 = _lstm(_dot(x, l2wi_ref[:])
+                               + _dot(h2_ref[:], l2wh_ref[:]) + l2b_ref[:],
+                               h2_ref[:], c2_ref[:])
+                x = x + h2
+                mels = _dot(x, wm_ref[:])          # (8, F_pad) frame-major
+
+                hit = jnp.logical_and(
+                    jnp.all(mels[0:1, :F] < stop_threshold), g * r > 10)
+
+                @pl.when(stopped == 0)
+                def _():
+                    ah_ref[:] = ah
+                    h1_ref[:] = h1
+                    c1_ref[:] = c1
+                    h2_ref[:] = h2
+                    c2_ref[:] = c2
+                    ctx_ref[:] = ctx8
+                    cumatt_ref[:, 0:1] = cumatt_ref[:, 0:1] + scores
+                    cumatt_ref[:, 1:2] = scores
+                    prev_ref[:, :n_mels] = mels[:, (r - 1) * n_mels:
+                                                r * n_mels]
+                    flags_ref[0] = jax.lax.select(hit, 1, 0)
+
+                @pl.when(stopped == 1)
+                def _():
+                    # first post-stop group: the frozen-state output that
+                    # _generate_scan would recompute forever — hold it
+                    flags_ref[1] = 1
+
+                hold_mel_ref[:] = mels
+                hold_att_ref[:, 0:1] = scores
+
+            # ---- emit (always: live value or frozen replay) ----
+            mel_out_ref[pl.ds(i, 1), :] = hold_mel_ref[0:1, :]
+            att_out_ref[:] = jnp.where(lane_T == i, hold_att_ref[:, 0:1],
+                                       att_out_ref[:])
+            stop_out_ref[:] = jnp.where(
+                lane_8 == i, jnp.float32(stopped), stop_out_ref[:])
+            return 0
+
+        jax.lax.fori_loop(0, G_CHUNK, body, 0)
+
+    return kernel
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+@partial(jax.jit, static_argnames=("tts", "r", "steps", "n_mels",
+                                   "interpret"))
+def decode_pallas(params, encoder_seq, encoder_seq_proj, text_mask,
+                  tts: TacotronConfig, r: int, steps: int, n_mels: int,
+                  interpret: bool = False):
+    """Run the free-running decode loop kernel.
+
+    encoder_seq: (1, T_text, E); encoder_seq_proj: (1, T_text, D);
+    text_mask: (T_text,) 1.0 where real text. Returns
+    (mel_out (1, n_mels, steps), attn (1, n_groups, T_text),
+    n_valid_groups (1,)) matching `models.tacotron._generate_scan`'s
+    decoder outputs (postnet runs outside).
+    """
+    dec = params["decoder"]
+    E = encoder_seq.shape[-1]
+    D = tts.decoder_dims
+    T_text = encoder_seq.shape[1]
+    # zero-wrap invariant: conv half-width must never wrap onto real text
+    T_pad = _round_up(T_text + CONV_HALF, 128)
+    n_groups = steps // r
+    n_g_pad = _round_up(n_groups, G_CHUNK)
+    F = r * n_mels
+    F_pad = _round_up(F, 128)
+
+    pad_T = ((0, T_pad - T_text), (0, 0))
+    enc = jnp.pad(encoder_seq[0], pad_T)                     # (T_pad, E)
+    encp = jnp.pad(encoder_seq_proj[0], pad_T)               # (T_pad, D)
+    mask = jnp.pad(text_mask.astype(jnp.float32), (0, T_pad - T_text))
+    mask = jnp.broadcast_to(mask[:, None], (T_pad, 128))
+
+    pre = dec["prenet"]
+    P1 = pre["fc1"]["w"].shape[1]
+    w1p = jnp.zeros((128, P1), jnp.float32).at[:n_mels].set(
+        pre["fc1"]["w"])                                     # GO-frame lanes
+    conv_w = dec["attn"]["conv"]["w"]                        # (32, 2, 31)
+    w0 = jnp.zeros((32, 128), jnp.float32).at[:CONV_K, :32].set(
+        conv_w[:, 0, :].T)
+    w1c = jnp.zeros((32, 128), jnp.float32).at[:CONV_K, :32].set(
+        conv_w[:, 1, :].T)
+    lw = jnp.zeros((128, D), jnp.float32).at[:32].set(dec["attn"]["L"]["w"])
+    qb = (dec["attn"]["W"]["b"] + dec["attn"]["L"]["b"])[None]
+    v = jnp.zeros((D, 128), jnp.float32).at[:, 0].set(
+        dec["attn"]["v"]["w"][:, 0])
+    # mel_proj columns reordered frame-major and sliced to r frames
+    # (the reference reshapes (n_mels, max_r) then takes [:, :r],
+    # tacotron.py:267-268)
+    wm = dec["mel_proj"]["w"].reshape(-1, n_mels, tts.max_r)[:, :, :r]
+    wm = jnp.swapaxes(wm, 1, 2).reshape(-1, F)
+    wm = jnp.pad(wm, ((0, 0), (0, F_pad - F)))
+
+    weights = [
+        w1p, pre["fc1"]["b"][None],
+        pre["fc2"]["w"], pre["fc2"]["b"][None],
+        dec["attn_rnn"]["wi"], dec["attn_rnn"]["bi"][None],
+        dec["attn_rnn"]["wh"], dec["attn_rnn"]["bh"][None],
+        dec["attn"]["W"]["w"], qb, w0, w1c, lw, v,
+        dec["rnn_input"]["w"], dec["rnn_input"]["b"][None],
+        dec["res_rnn1"]["wi"], dec["res_rnn1"]["wh"],
+        (dec["res_rnn1"]["bi"] + dec["res_rnn1"]["bh"])[None],
+        dec["res_rnn2"]["wi"], dec["res_rnn2"]["wh"],
+        (dec["res_rnn2"]["bi"] + dec["res_rnn2"]["bh"])[None],
+        wm,
+    ]
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda t: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    L = tts.lstm_dims
+    kernel = _make_kernel(r, n_mels, T_pad, F, tts.stop_threshold)
+    mel_out, att_out, stop_out = pl.pallas_call(
+        kernel,
+        grid=(n_g_pad // G_CHUNK,),
+        in_specs=[const_spec(jnp.shape(a)) for a in
+                  [enc, encp, mask] + weights],
+        out_specs=(
+            pl.BlockSpec((G_CHUNK, F_pad), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_pad, G_CHUNK), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, G_CHUNK), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_g_pad, F_pad), jnp.float32),
+            jax.ShapeDtypeStruct((T_pad, n_g_pad), jnp.float32),
+            jax.ShapeDtypeStruct((8, n_g_pad), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((8, D), jnp.float32),        # attn hidden
+            pltpu.VMEM((8, L), jnp.float32),        # h1
+            pltpu.VMEM((8, L), jnp.float32),        # c1
+            pltpu.VMEM((8, L), jnp.float32),        # h2
+            pltpu.VMEM((8, L), jnp.float32),        # c2
+            pltpu.VMEM((8, E), jnp.float32),        # context
+            pltpu.VMEM((8, 128), jnp.float32),      # prev frame
+            pltpu.VMEM((T_pad, 128), jnp.float32),  # cumulative | attention
+            pltpu.VMEM((8, F_pad), jnp.float32),    # hold: mel group
+            pltpu.VMEM((T_pad, 128), jnp.float32),  # hold: attention
+            pltpu.SMEM((2,), jnp.int32),            # stopped, hold_valid
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(enc, encp, mask, *weights)
+
+    mel = mel_out[:n_groups, :F].reshape(n_groups * r, n_mels)
+    mel = jnp.swapaxes(mel, 0, 1)[None]                      # (1, n_mels, T)
+    attn = jnp.swapaxes(att_out[:T_text, :n_groups], 0, 1)[None]
+    n_valid = jnp.sum(stop_out[0, :n_groups] < 0.5)[None]
+    return mel, attn, n_valid
