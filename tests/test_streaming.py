@@ -1,0 +1,105 @@
+"""Streaming vocoder == offline unbatched generation, bit-for-bit.
+
+The StreamingVocoder hands the exact RNN state across blocks and computes
+each block's conditioning from a +-pad-frame window, so under the same
+injected sampling noise the streamed waveform must equal one offline
+whole-utterance sample-loop run exactly.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wavernn_tpu.config import DSPConfig, WaveRNNConfig
+from wavernn_tpu.models import wavernn as wr
+from wavernn_tpu.models.wavernn import upsample_apply
+from wavernn_tpu.ops.sample_loop import generate_scan
+from wavernn_tpu.streaming import StreamingVocoder
+
+DSP = DSPConfig()
+
+
+def _cfg(mode):
+    return WaveRNNConfig(mode=mode, rnn_dims=32, fc_dims=32, compute_dims=16,
+                         res_out_dims=16, res_blocks=1, pad=2,
+                         upsample_factors=(5, 5, 11))
+
+
+def _offline(params, mels, voc, noise):
+    """Unbatched offline reference: pad, upsample, one sample-loop run."""
+    m = jnp.pad(jnp.asarray(mels)[None], ((0, 0), (0, 0), (voc.pad, voc.pad)))
+    mels_up, aux, _ = upsample_apply(params["upsample"], m, voc,
+                                     training=False)
+    samples = generate_scan(params, mels_up, aux, voc, DSP.bits,
+                            jax.random.PRNGKey(0), noise=noise)
+    return np.asarray(samples[0])
+
+
+def _noise(rng, voc, T):
+    if voc.mode == "MOL":
+        nr_mix = voc.n_classes(DSP.bits) // 3
+        return (jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (T, 1, nr_mix))
+                            .astype(np.float32)),
+                jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (T, 1))
+                            .astype(np.float32)))
+    n_classes = voc.n_classes(DSP.bits)
+    return jnp.asarray(rng.uniform(1e-9, 1.0, (T, 1, n_classes))
+                       .astype(np.float32))
+
+
+@pytest.mark.parametrize("mode", ["MOL", "RAW"])
+def test_streaming_matches_offline(mode, rng):
+    voc = _cfg(mode)
+    params = wr.init_wavernn(jax.random.PRNGKey(1), voc, DSP)
+    frames = 23  # not a multiple of chunk_frames: exercises the flush tail
+    mels = rng.uniform(0.2, 0.8, (DSP.num_mels, frames)).astype(np.float32)
+    T = frames * DSP.hop_length
+    noise = _noise(rng, voc, T)
+
+    want = _offline(params, mels, voc, noise)
+    if mode == "RAW":  # offline helper skips mu-law; compare raw samples
+        sv = StreamingVocoder(params, voc, DSP, jax.random.PRNGKey(0),
+                              chunk_frames=7, mu_law=False, noise=noise)
+    else:
+        sv = StreamingVocoder(params, voc, DSP, jax.random.PRNGKey(0),
+                              chunk_frames=7, noise=noise)
+    # irregular push sizes: 1, 9, 4, then the rest
+    got = [sv.feed(mels[:, :1]), sv.feed(mels[:, 1:10]),
+           sv.feed(mels[:, 10:14]), sv.feed(mels[:, 14:])]
+    got.append(sv.flush())
+    got = np.concatenate(got)
+
+    assert got.shape == want.shape == (T,)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_streaming_latency_accounting(rng):
+    """Audio becomes available as soon as chunk_frames + pad frames beyond
+    the emitted point exist — the documented lookahead."""
+    voc = _cfg("MOL")
+    params = wr.init_wavernn(jax.random.PRNGKey(1), voc, DSP)
+    sv = StreamingVocoder(params, voc, DSP, jax.random.PRNGKey(0),
+                          chunk_frames=4)
+    # 4 + pad(2) - pad(left ctx already buffered) -> needs 6 fed frames
+    assert sv.feed(rng.uniform(0, 1, (DSP.num_mels, 5))).size == 0
+    out = sv.feed(rng.uniform(0, 1, (DSP.num_mels, 1)))
+    assert out.size == 4 * DSP.hop_length
+
+
+def test_streaming_mu_law_decode(rng):
+    """RAW mode decodes mu-law on emit (feedback stays in the encoded
+    domain, matching the offline path's post-loop decode)."""
+    voc = _cfg("RAW")
+    params = wr.init_wavernn(jax.random.PRNGKey(1), voc, DSP)
+    frames = 14
+    mels = rng.uniform(0.2, 0.8, (DSP.num_mels, frames)).astype(np.float32)
+    T = frames * DSP.hop_length
+    noise = _noise(rng, voc, T)
+    raw = _offline(params, mels, voc, noise)
+    mu = voc.n_classes(DSP.bits) - 1
+    want = np.sign(raw) / mu * ((1 + mu) ** np.abs(raw) - 1)
+
+    sv = StreamingVocoder(params, voc, DSP, jax.random.PRNGKey(0),
+                          chunk_frames=7, noise=noise)
+    got = np.concatenate([sv.feed(mels), sv.flush()])
+    np.testing.assert_allclose(got, want.astype(np.float32), atol=1e-7)

@@ -66,6 +66,40 @@ def test_generate_fast_waveform_sane_on_hardware(tpu_backend):
     assert np.abs(wav).std() > 1e-4  # not silence/constant
 
 
+def test_streaming_pallas_on_hardware(tpu_backend):
+    """StreamingVocoder's Pallas state-I/O path (block-to-block RNN state
+    handoff through the kernel's snapshot outputs) matches the scan
+    streaming path on silicon with shared injected noise."""
+    import jax
+    import jax.numpy as jnp
+
+    from wavernn_tpu.config import Config
+    from wavernn_tpu.models import wavernn as wr
+    from wavernn_tpu.streaming import StreamingVocoder
+
+    cfg = Config()
+    params = wr.init_wavernn(jax.random.PRNGKey(1), cfg.voc, cfg.dsp)
+    rng = np.random.RandomState(0)
+    frames = 40
+    mels = rng.uniform(0.2, 0.8, (cfg.dsp.num_mels, frames)).astype(np.float32)
+    T = frames * cfg.dsp.hop_length
+    nr_mix = cfg.voc.n_classes(cfg.dsp.bits) // 3
+    noise = (jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (T, 1, nr_mix))
+                         .astype(np.float32)),
+             jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (T, 1))
+                         .astype(np.float32)))
+
+    outs = {}
+    for name, use_pallas in [("pallas", True), ("scan", False)]:
+        sv = StreamingVocoder(params, cfg.voc, cfg.dsp, jax.random.PRNGKey(0),
+                              chunk_frames=16, use_pallas=use_pallas,
+                              noise=noise)
+        outs[name] = np.concatenate([sv.feed(mels), sv.flush()])
+    assert outs["pallas"].shape == outs["scan"].shape == (T,)
+    # same autoregressive trajectory, f32 rounding-level differences
+    np.testing.assert_allclose(outs["pallas"], outs["scan"], atol=1e-3)
+
+
 def test_tacotron_decode_kernel_on_hardware(tpu_backend):
     """Persistent-weights Tacotron decode kernel (ops/pallas_taco.py) vs
     the scan oracle on silicon: full-size decoder, r=2, 500 groups."""
