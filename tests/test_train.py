@@ -120,3 +120,35 @@ def test_sharded_train_step(rng):
     # params stay replicated after update
     leaf = state.params["I"]["w"]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_bf16_mixed_precision_training(rng):
+    """precision="bfloat16" (f32 master weights, bf16 core compute): loss
+    decreases, gradients point the same way as f32 ones, and master
+    params / BatchNorm running stats stay f32 across steps."""
+    voc = _cfg("MOL")
+    state = wt.create_train_state(jax.random.PRNGKey(0), voc, DSP, lr=1e-3)
+    x, y, m = _batch(rng, voc, "MOL")
+
+    g32, _ = jax.grad(wt.loss_fn, has_aux=True)(state.params, x, y, m, voc,
+                                                DSP)
+    g16, _ = jax.grad(wt.loss_fn, has_aux=True)(state.params, x, y, m, voc,
+                                                DSP, jnp.bfloat16)
+    flat32 = jnp.concatenate([v.ravel() for v in
+                              jax.tree_util.tree_leaves(g32)])
+    flat16 = jnp.concatenate([v.ravel() for v in
+                              jax.tree_util.tree_leaves(g16)])
+    assert flat16.dtype == jnp.float32  # master-grad dtype preserved
+    cos = jnp.vdot(flat32, flat16) / (
+        jnp.linalg.norm(flat32) * jnp.linalg.norm(flat16))
+    assert float(cos) > 0.98, float(cos)
+
+    losses = []
+    for _ in range(30):
+        state, metrics = wt.train_step(state, x, y, m, voc, DSP, 1e-3, 4.0,
+                                       precision="bfloat16")
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] - 0.3, losses[::10]
+    assert np.isfinite(losses).all()
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert leaf.dtype == jnp.float32

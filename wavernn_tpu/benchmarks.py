@@ -272,27 +272,33 @@ def train_bench(steps: int = 30, batch_size: int = 32) -> dict:
         0, 1, (batch_size, dsp.num_mels, mel_win)).astype(np.float32))
     x.block_until_ready()
 
-    def one(state):
-        return wt.train_step(state, x, y, m, voc, dsp, cfg.voc_train.lr,
-                             cfg.voc_train.clip_grad_norm)
+    def measure(precision):
+        st = state
 
-    t0 = time.time()
-    # the donated-state jit compiles a second (aliased-buffer) variant on
-    # the 2nd call — warm up past it, fenced, before timing
-    for _ in range(3):
-        state, metrics = one(state)
-        np.asarray(metrics["loss"])
-    print(f"train compile+warmup: {time.time() - t0:.1f}s", file=sys.stderr)
+        def one(st):
+            return wt.train_step(st, x, y, m, voc, dsp, cfg.voc_train.lr,
+                                 cfg.voc_train.clip_grad_norm, precision)
 
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = one(state)
-    np.asarray(metrics["loss"])          # single fence after the pipeline
-    dt = time.perf_counter() - t0
-    sps = steps / dt
-    _report("train", True, f"{sps:.1f} steps/s (bs={batch_size}, "
-            f"seq={seq_len}, MOL)")
+        t0 = time.time()
+        # the donated-state jit compiles a second (aliased-buffer) variant
+        # on the 2nd call — warm up past it, fenced, before timing
+        for _ in range(3):
+            st, metrics = one(st)
+            np.asarray(metrics["loss"])
+        print(f"train compile+warmup ({precision}): {time.time() - t0:.1f}s",
+              file=sys.stderr)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            st, metrics = one(st)
+        np.asarray(metrics["loss"])      # single fence after the pipeline
+        return steps / (time.perf_counter() - t0)
+
+    sps = measure("float32")
+    sps16 = measure("bfloat16")
+    _report("train", True, f"{sps:.1f} steps/s f32 / {sps16:.1f} bf16 "
+            f"(bs={batch_size}, seq={seq_len}, MOL)")
     return {"train_steps_per_s": round(sps, 2),
+            "train_steps_per_s_bf16": round(sps16, 2),
             "train_batch_size": batch_size, "train_seq_len": seq_len}
 
 

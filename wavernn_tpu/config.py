@@ -98,6 +98,9 @@ class WaveRNNTrainConfig:
     seq_len: int = 275 * 5  # must be a multiple of hop_length
     clip_grad_norm: Optional[float] = 4.0
     init_weights_path: Optional[str] = None
+    # "bfloat16" = mixed-precision core compute (f32 master weights /
+    # optimizer / BatchNorm stats); TPU-native extension, not in reference
+    precision: str = "float32"
 
 
 @dataclass(frozen=True)
@@ -217,6 +220,7 @@ class Config:
             seq_len=g("voc_seq_len", g("hop_length", 275) * 5),
             clip_grad_norm=g("voc_clip_grad_norm", 4.0),
             init_weights_path=g("voc_init_weights_path"),
+            precision=g("voc_precision", "float32"),
         )
         tts = TacotronConfig(
             embed_dims=g("tts_embed_dims", 256),

@@ -154,28 +154,41 @@ def upsample_apply(p, mels, voc: WaveRNNConfig, training: bool = False):
     return jnp.swapaxes(m, 1, 2), jnp.swapaxes(aux, 1, 2), new_p
 
 
-def forward(params, x, mels, voc: WaveRNNConfig, training: bool = False):
+def forward(params, x, mels, voc: WaveRNNConfig, training: bool = False,
+            compute_dtype=None):
     """Teacher-forced forward (fatchord_version.py:131-167).
 
     x: (B, T) previous samples (floats in [-1,1]);
     mels: (B, n_mels, T_mel) conditioning window (includes 2*pad frames).
+    compute_dtype: optional narrow dtype (bf16) for the core GRU/FC stack —
+    mixed-precision training: the upsampler (BatchNorm batch statistics)
+    stays f32, core weights/activations are cast on entry, logits are cast
+    back to f32 on exit; master params and gradients remain f32.
     Returns (logits (B, T, n_classes), new_params).
     """
     a = voc.aux_dims
     mels_up, aux, new_up = upsample_apply(params["upsample"], mels, voc, training)
+
+    core = {k: params[k] for k in ("I", "rnn1", "rnn2", "fc1", "fc2", "fc3")}
+    if compute_dtype is not None:
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda v: v.astype(compute_dtype), t)
+        core = cast(core)
+        x, mels_up, aux = (v.astype(compute_dtype)
+                           for v in (x, mels_up, aux))
     a1, a2, a3, a4 = (aux[..., i * a:(i + 1) * a] for i in range(4))
 
     h = jnp.concatenate([x[..., None], mels_up, a1], axis=-1)
-    h = L.linear(params["I"], h)
+    h = L.linear(core["I"], h)
     res = h
-    h, _ = L.gru(params["rnn1"], h)
+    h, _ = L.gru(core["rnn1"], h)
     h = h + res
     res = h
-    h, _ = L.gru(params["rnn2"], jnp.concatenate([h, a2], axis=-1))
+    h, _ = L.gru(core["rnn2"], jnp.concatenate([h, a2], axis=-1))
     h = h + res
-    h = jax.nn.relu(L.linear(params["fc1"], jnp.concatenate([h, a3], axis=-1)))
-    h = jax.nn.relu(L.linear(params["fc2"], jnp.concatenate([h, a4], axis=-1)))
-    logits = L.linear(params["fc3"], h)
+    h = jax.nn.relu(L.linear(core["fc1"], jnp.concatenate([h, a3], axis=-1)))
+    h = jax.nn.relu(L.linear(core["fc2"], jnp.concatenate([h, a4], axis=-1)))
+    logits = L.linear(core["fc3"], h).astype(jnp.float32)
 
     new_params = dict(params)
     new_params["upsample"] = new_up

@@ -41,9 +41,12 @@ def create_train_state(key, voc: WaveRNNConfig, dsp: DSPConfig, lr: float,
     return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
 
 
-def loss_fn(params, x, y, mels, voc: WaveRNNConfig, dsp: DSPConfig):
-    """Returns (loss, new_params-with-updated-BN-stats)."""
-    logits, new_params = wr.forward(params, x, mels, voc, training=True)
+def loss_fn(params, x, y, mels, voc: WaveRNNConfig, dsp: DSPConfig,
+            compute_dtype=None):
+    """Returns (loss, new_params-with-updated-BN-stats). The loss itself is
+    always computed in f32 (logits are upcast on the way out of forward)."""
+    logits, new_params = wr.forward(params, x, mels, voc, training=True,
+                                    compute_dtype=compute_dtype)
     if voc.mode == "RAW":
         labels = y.astype(jnp.int32)
         logp = jax.nn.log_softmax(logits, axis=-1)
@@ -56,13 +59,22 @@ def loss_fn(params, x, y, mels, voc: WaveRNNConfig, dsp: DSPConfig):
     return loss, new_params
 
 
-@partial(jax.jit, static_argnames=("voc", "dsp", "lr", "clip_grad_norm"))
+@partial(jax.jit, static_argnames=("voc", "dsp", "lr", "clip_grad_norm",
+                                   "precision"))
 def train_step(state: TrainState, x, y, mels, voc: WaveRNNConfig,
                dsp: DSPConfig, lr: float,
-               clip_grad_norm: Optional[float] = 4.0):
-    """One optimizer step. Returns (new_state, metrics)."""
+               clip_grad_norm: Optional[float] = 4.0,
+               precision: str = "float32"):
+    """One optimizer step. Returns (new_state, metrics).
+
+    precision="bfloat16" runs the core GRU/FC stack (forward AND backward)
+    in bf16 with f32 master weights, f32 optimizer state, and f32 BatchNorm
+    statistics — bf16 shares f32's exponent range, so no loss scaling is
+    needed (unlike f16). Measured ~2x step throughput on one chip.
+    """
+    compute_dtype = (jnp.bfloat16 if precision == "bfloat16" else None)
     (loss, new_params), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params, x, y, mels, voc, dsp)
+        state.params, x, y, mels, voc, dsp, compute_dtype)
     tx = make_optimizer(lr, clip_grad_norm)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
@@ -117,7 +129,8 @@ def train_loop(cfg: Config, workspace, dataset, state: TrainState,
         for x, y, m in prefetch(dataset):
             i += 1
             state, metrics = train_step(state, x, y, m, cfg.voc, cfg.dsp, lr,
-                                        cfg.voc_train.clip_grad_norm)
+                                        cfg.voc_train.clip_grad_norm,
+                                        cfg.voc_train.precision)
             running = running + metrics["loss"]
             nonfinite = nonfinite + (
                 ~jnp.isfinite(metrics["grad_norm"])).astype(jnp.int32)
