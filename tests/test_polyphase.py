@@ -1,0 +1,175 @@
+"""Polyphase upsampler equivalence + fused-conditioning kernel parity.
+
+The fused kernel (ops/pallas_gen.py:generate_pallas_fused) replaces the
+materialize-upsample-fold pipeline for batched generation
+(fatchord_version.py:169-264); these tests pin (a) the polyphase rewrite of
+the upsampler and (b) full-pipeline waveform parity against the
+materialized path under identical injected noise.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from wavernn_tpu.config import DSPConfig, WaveRNNConfig
+from wavernn_tpu.models import wavernn as wr
+from wavernn_tpu.ops import fold as F
+from wavernn_tpu.ops import polyphase as P
+
+DSP = DSPConfig()
+
+
+def _cfg(mode="MOL"):
+    return WaveRNNConfig(mode=mode, rnn_dims=64, fc_dims=64, compute_dims=16,
+                         res_out_dims=32, res_blocks=1, pad=2,
+                         upsample_factors=(5, 5, 11))
+
+
+def test_geometry_matches_defaults():
+    geo = P.geometry((5, 5, 11), pad=2)
+    assert geo.hop == 275
+    assert geo.lead == 341 and geo.h_len == 957
+    assert geo.d_lo == -1 and geo.K == 6
+    assert geo.indent == 550
+
+
+def test_polyphase_equals_conv_stack(rng):
+    """phi-table reconstruction == the stretch+depthwise-conv upsampler."""
+    voc = _cfg()
+    params = wr.init_wavernn(jax.random.PRNGKey(1), voc, DSP)
+    T = 12
+    mels = jnp.asarray(rng.uniform(0, 1, (1, DSP.num_mels, T)).astype(np.float32))
+    mels_p = jnp.pad(mels, ((0, 0), (0, 0), (voc.pad, voc.pad)))
+
+    want, _, _ = wr.upsample_apply(params["upsample"], mels_p, voc,
+                                   training=False)
+    got = P.upsample_polyphase(params["upsample"]["up_convs"], mels_p,
+                               voc.upsample_factors, voc.pad)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+
+def test_folded_frames_layout(rng):
+    """Row f of the folded frame array holds frame b*stride + f + d_lo."""
+    geo = P.geometry((5, 5, 11), pad=2)
+    T = 10
+    total_len = T * geo.hop
+    target, overlap = 4 * geo.hop, geo.hop
+    num_folds, stride_f, fold_chunks, _ = P.fold_geometry(
+        total_len, target, overlap, geo.hop)
+    mel_fr = jnp.asarray(rng.randn(T + 4, 3).astype(np.float32))
+    aux_fr = jnp.asarray(rng.randn(T, 2).astype(np.float32))
+    fr = np.asarray(P.build_folded_frames(mel_fr, aux_fr, num_folds,
+                                          stride_f, fold_chunks, geo.K,
+                                          geo.d_lo))
+    assert fr.shape == (fold_chunks + geo.K - 1, num_folds, 5)
+    for b in range(num_folds):
+        for f in range(fr.shape[0]):
+            g = b * stride_f + f + geo.d_lo
+            want_m = mel_fr[g] if 0 <= g < T + 4 else np.zeros(3)
+            want_a = aux_fr[g] if 0 <= g < T else np.zeros(2)
+            np.testing.assert_allclose(fr[f, b, :3], want_m)
+            np.testing.assert_allclose(fr[f, b, 3:], want_a)
+
+
+def _fused_vs_materialized(mode, rng):
+    """Full-pipeline parity: fused kernel vs upsample+fold+kernel, same
+    injected noise, interpret mode; compared on the trimmed waveform (the
+    paths legitimately differ in the last fold's discarded zero-pad tail).
+    """
+    from wavernn_tpu.ops.pallas_gen import generate_pallas, generate_pallas_fused
+
+    voc = _cfg(mode)
+    params = wr.init_wavernn(jax.random.PRNGKey(1), voc, DSP)
+    geo = P.geometry(voc.upsample_factors, voc.pad)
+    T_frames = 14
+    target, overlap = 4 * geo.hop, geo.hop        # 3 folds
+    total_len = T_frames * geo.hop
+
+    mels = jnp.asarray(
+        rng.uniform(0, 1, (1, DSP.num_mels, T_frames)).astype(np.float32))
+    mels_p = jnp.pad(mels, ((0, 0), (0, 0), (voc.pad, voc.pad)))
+
+    num_folds, stride_f, fold_chunks, fold_len = P.fold_geometry(
+        total_len, target, overlap, geo.hop)
+    B = num_folds
+    if mode == "MOL":
+        nr_mix = voc.n_classes(DSP.bits) // 3
+        noise = (jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (fold_len, B, nr_mix))
+                             .astype(np.float32)),
+                 jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (fold_len, B))
+                             .astype(np.float32)))
+    else:
+        noise = jnp.asarray(
+            rng.uniform(1e-5, 1 - 1e-5,
+                        (fold_len, B, voc.n_classes(DSP.bits)))
+            .astype(np.float32))
+
+    # materialized reference path
+    mels_up, aux, _ = wr.upsample_apply(params["upsample"], mels_p, voc,
+                                        training=False)
+    mf = F.fold_with_overlap(mels_up, target, overlap)
+    af = F.fold_with_overlap(aux, target, overlap)
+    want = np.asarray(generate_pallas(params, mf, af, voc, DSP.bits,
+                                      jax.random.PRNGKey(0), noise=noise,
+                                      chunk=geo.hop,
+                                      compute_dtype=jnp.float32,
+                                      interpret=True))
+
+    # fused path
+    phi = P.phi_table(params["upsample"]["up_convs"], voc.upsample_factors,
+                      geo)
+    aux_fr, _ = wr.melresnet_apply(params["upsample"]["resnet"], mels_p,
+                                   training=False)
+    frames = P.build_folded_frames(
+        jnp.swapaxes(mels_p[0], 0, 1), jnp.swapaxes(aux_fr[0], 0, 1),
+        num_folds, stride_f, fold_chunks, geo.K, geo.d_lo)
+    got = np.asarray(generate_pallas_fused(
+        params, frames, phi, voc, DSP.bits, jax.random.PRNGKey(0),
+        geo.hop, -geo.d_lo, fold_chunks, noise=noise,
+        compute_dtype=jnp.float32, interpret=True))
+
+    assert got.shape == want.shape == (B, fold_len)
+    # compare only samples that survive xfade+trim: global index < total_len
+    for b in range(B):
+        valid = min(fold_len, max(0, total_len - b * (target + overlap)))
+        np.testing.assert_allclose(got[b, :valid], want[b, :valid],
+                                   atol=2e-4,
+                                   err_msg=f"fold {b} ({valid} valid)")
+
+
+def test_fused_kernel_matches_materialized_mol(rng):
+    _fused_vs_materialized("MOL", rng)
+
+
+def test_fused_kernel_matches_materialized_raw(rng):
+    _fused_vs_materialized("RAW", rng)
+
+
+def test_generate_fast_uses_fused_and_matches_scan_pipeline(rng):
+    """generate_fast (fused branch) vs the scan pipeline on the final
+    trimmed waveform — same key drives identical sampling noise."""
+    voc = _cfg("MOL")
+    params = wr.init_wavernn(jax.random.PRNGKey(1), voc, DSP)
+    T_frames = 14
+    mels = rng.uniform(0, 1, (1, DSP.num_mels, T_frames)).astype(np.float32)
+    target, overlap = 4 * 275, 275
+    assert wr._fused_cond_ok(voc, DSP, target, overlap)
+
+    fold_len = target + 2 * overlap
+    B = F.num_folds_for(T_frames * 275, target, overlap)
+    nr_mix = voc.n_classes(DSP.bits) // 3
+    noise = (jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (fold_len, B, nr_mix))
+                         .astype(np.float32)),
+             jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (fold_len, B))
+                         .astype(np.float32)))
+    got = np.asarray(wr.generate_fast(params, mels, voc, DSP,
+                                      jax.random.PRNGKey(5), target=target,
+                                      overlap=overlap, use_pallas=True,
+                                      interpret=True, noise=noise,
+                                      compute_dtype=jnp.float32))
+    want = np.asarray(wr.generate_fast(params, mels, voc, DSP,
+                                       jax.random.PRNGKey(5), target=target,
+                                       overlap=overlap, use_pallas=False,
+                                       noise=noise))
+    assert got.shape == want.shape
+    # identical noise => lockstep trajectories up to matmul-order rounding
+    np.testing.assert_allclose(got, want, atol=2e-3)

@@ -31,6 +31,7 @@ def test_kernel_parity_on_hardware(tpu_backend):
     assert out["parity_ok_state"], out
     assert out["parity_ok_mol_bf16"], out
     assert out["parity_ok_mol_bf16_gates"], out
+    assert out["parity_ok_fused"], out
 
 
 def test_block_sparse_kernel_on_hardware(tpu_backend):

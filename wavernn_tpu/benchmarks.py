@@ -144,8 +144,66 @@ def parity_checks(B: int = 8, T: int = 512) -> dict:
     _report("state-I/O", out["parity_ok_state"],
             f"maxerr seq={err_s:.2e} snap={err_snap:.2e} resume={err_res:.2e}")
 
+    # ---- fused-conditioning kernel (production generate_fast path) ----
+    # vs the materialized upsample+fold+kernel pipeline, identical injected
+    # noise, f32 compute, full-size model. The in-kernel polyphase upsample
+    # reorders the conditioning arithmetic (~1e-6 perturbation), so over a
+    # 12k-step fold an isolated near-tie sample draw may flip and re-lock
+    # within a couple of steps (contractive GRU state) — gate on agreement
+    # rate, like the bf16 path.
+    from .models import wavernn as wrm
+    from .ops import fold as Fo
+    from .ops import polyphase as Po
+    from .ops.pallas_gen import generate_pallas_fused
+
+    voc_f = WaveRNNConfig(mode="MOL")
+    params_f = wr.init_wavernn(jax.random.PRNGKey(1), voc_f, dsp)
+    geo = Po.geometry(voc_f.upsample_factors, voc_f.pad)
+    T_frames, target, overlap = 100, 11000, 550
+    total_len = T_frames * geo.hop
+    mels_f = jnp.asarray(
+        rng.uniform(0, 1, (1, dsp.num_mels, T_frames)).astype(np.float32))
+    mels_fp = jnp.pad(mels_f, ((0, 0), (0, 0), (voc_f.pad, voc_f.pad)))
+    n_folds, stride_f, fold_chunks, fold_len = Po.fold_geometry(
+        total_len, target, overlap, geo.hop)
+    noise_f = (jnp.asarray(rng.uniform(1e-5, 1 - 1e-5,
+                                       (fold_len, n_folds, nr_mix))
+                           .astype(np.float32)),
+               jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (fold_len, n_folds))
+                           .astype(np.float32)))
+    mu_f, au_f, _ = wrm.upsample_apply(params_f["upsample"], mels_fp, voc_f,
+                                       training=False)
+    want_f = np.asarray(generate_pallas(
+        params_f, Fo.fold_with_overlap(mu_f, target, overlap),
+        Fo.fold_with_overlap(au_f, target, overlap), voc_f, dsp.bits,
+        jax.random.PRNGKey(0), noise=noise_f, compute_dtype=jnp.float32))
+    phi = Po.phi_table(params_f["upsample"]["up_convs"],
+                       voc_f.upsample_factors, geo)
+    aux_fr, _ = wrm.melresnet_apply(params_f["upsample"]["resnet"], mels_fp,
+                                    training=False)
+    frames_f = Po.build_folded_frames(
+        jnp.swapaxes(mels_fp[0], 0, 1), jnp.swapaxes(aux_fr[0], 0, 1),
+        n_folds, stride_f, fold_chunks, geo.K, geo.d_lo)
+    got_f = np.asarray(generate_pallas_fused(
+        params_f, frames_f, phi, voc_f, dsp.bits, jax.random.PRNGKey(0),
+        geo.hop, -geo.d_lo, fold_chunks, noise=noise_f,
+        compute_dtype=jnp.float32))
+    agrees = []
+    for b in range(n_folds):
+        # compare only samples that survive xfade+trim (the paths
+        # legitimately differ in the last fold's discarded zero-pad tail)
+        valid = min(fold_len, max(0, total_len - b * (target + overlap)))
+        if valid:
+            agrees.append(np.mean(np.isclose(got_f[b, :valid],
+                                             want_f[b, :valid], atol=2e-2)))
+    agree_f = float(np.mean(agrees))
+    out["parity_fused_agree"] = agree_f
+    out["parity_ok_fused"] = bool(agree_f > 0.995)
+    _report("fused-cond", out["parity_ok_fused"], f"agree={agree_f:.5f}")
+
     out["parity_ok"] = bool(out["parity_ok_mol"] and out["parity_ok_raw"]
-                            and out["parity_ok_state"])
+                            and out["parity_ok_state"]
+                            and out["parity_ok_fused"])
     return out
 
 
@@ -191,6 +249,25 @@ def kernel_variants_bench(B: int = 128, T: int = 8192) -> dict:
         return float(np.median(ts)) / T * 1e6  # us/step
 
     out = {}
+    # fused-conditioning kernel (the production path): frame-rate streams,
+    # in-kernel polyphase upsample, aux matmuls hoisted per chunk
+    from .ops import polyphase as Po
+    from .ops.pallas_gen import generate_pallas_fused
+
+    geo = Po.geometry(voc.upsample_factors, voc.pad)
+    fold_chunks = T // geo.hop
+    Tf = fold_chunks * geo.hop
+    nf_loc = fold_chunks + geo.K - 1
+    frames_f = jax.random.normal(
+        k1, (nf_loc, B, dsp.num_mels + voc.res_out_dims), jnp.float32) * 0.3
+    phi = Po.phi_table(params["upsample"]["up_convs"], voc.upsample_factors,
+                       geo)
+    np.asarray(jnp.sum(frames_f))  # fence input placement
+    out["step_us_fused_bf16"] = round(timeit(
+        lambda k: generate_pallas_fused(
+            params, frames_f, phi, voc, dsp.bits, jax.random.PRNGKey(k),
+            geo.hop, -geo.d_lo, fold_chunks)) * T / Tf, 2)
+
     out["step_us_bf16_weights"] = round(timeit(
         lambda k: generate_pallas(params, mels_up, aux, voc, dsp.bits,
                                   jax.random.PRNGKey(k))), 2)

@@ -195,27 +195,74 @@ def forward(params, x, mels, voc: WaveRNNConfig, training: bool = False,
     return logits, new_params
 
 
+def _fused_cond_ok(voc: WaveRNNConfig, dsp: DSPConfig, target: int,
+                   overlap: int) -> bool:
+    """The fused kernel needs folds phase-aligned to mel frames (true for
+    the reference defaults: target 11000 / overlap 550 / hop 275)."""
+    from ..ops import polyphase as P
+    total_scale = 1
+    for s in voc.upsample_factors:
+        total_scale *= s
+    if not (total_scale == dsp.hop_length and target % dsp.hop_length == 0
+            and overlap % dsp.hop_length == 0):
+        return False
+    geo = P.geometry(voc.upsample_factors, voc.pad)
+    return 0 <= -geo.d_lo < geo.K  # aux frame-repeat tap must exist
+
+
 def _generate_device(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
                      target: int, overlap: int, mu_law: bool,
-                     use_pallas: bool):
-    """Whole generation pipeline as one XLA program: pad -> upsample ->
-    fold -> sample loop -> mu-law decode -> equal-power xfade -> tail fade.
+                     use_pallas: bool, interpret: bool = False,
+                     compute_dtype=jnp.bfloat16, noise=None):
+    """Whole generation pipeline as one XLA program: conditioning ->
+    sample loop -> mu-law decode -> equal-power xfade -> tail fade.
+
+    With the fused kernel (the default whenever target/overlap are hop
+    multiples), conditioning stays at MEL RATE end to end: the resnet runs
+    at frame rate, frames are folded (a few MB), and the kernel applies the
+    upsampler's polyphase filter + aux frame-repeat in-register
+    (ops/polyphase.py) — no sample-rate mels_up/aux tensors or fold copies
+    ever touch HBM.  Otherwise: pad -> upsample -> fold -> sample loop.
     """
     from ..ops import fold as F
+    from ..ops import polyphase as P
     from ..ops.sample_loop import generate_scan
 
     wave_len = (mels.shape[-1] - 1) * dsp.hop_length
+    total_len = mels.shape[-1] * dsp.hop_length
     mels = jnp.pad(mels, ((0, 0), (0, 0), (voc.pad, voc.pad)))
-    mels_up, aux, _ = upsample_apply(params["upsample"], mels, voc,
-                                     training=False)
-    mels_up = F.fold_with_overlap(mels_up, target, overlap)
-    aux = F.fold_with_overlap(aux, target, overlap)
 
-    if use_pallas:
-        from ..ops.pallas_gen import generate_pallas
-        samples = generate_pallas(params, mels_up, aux, voc, dsp.bits, key)
+    if use_pallas and _fused_cond_ok(voc, dsp, target, overlap):
+        from ..ops.pallas_gen import generate_pallas_fused
+        geo = P.geometry(voc.upsample_factors, voc.pad)
+        phi = P.phi_table(params["upsample"]["up_convs"],
+                          voc.upsample_factors, geo)
+        aux_fr, _ = melresnet_apply(params["upsample"]["resnet"], mels,
+                                    training=False)
+        num_folds, stride_f, fold_chunks, _ = P.fold_geometry(
+            total_len, target, overlap, geo.hop)
+        frames = P.build_folded_frames(
+            jnp.swapaxes(mels[0], 0, 1), jnp.swapaxes(aux_fr[0], 0, 1),
+            num_folds, stride_f, fold_chunks, geo.K, geo.d_lo)
+        samples = generate_pallas_fused(params, frames, phi, voc, dsp.bits,
+                                        key, geo.hop, -geo.d_lo, fold_chunks,
+                                        noise=noise,
+                                        compute_dtype=compute_dtype,
+                                        interpret=interpret)
     else:
-        samples = generate_scan(params, mels_up, aux, voc, dsp.bits, key)
+        mels_up, aux, _ = upsample_apply(params["upsample"], mels, voc,
+                                         training=False)
+        mels_up = F.fold_with_overlap(mels_up, target, overlap)
+        aux = F.fold_with_overlap(aux, target, overlap)
+        if use_pallas:
+            from ..ops.pallas_gen import generate_pallas
+            samples = generate_pallas(params, mels_up, aux, voc, dsp.bits,
+                                      key, noise=noise,
+                                      compute_dtype=compute_dtype,
+                                      interpret=interpret)
+        else:
+            samples = generate_scan(params, mels_up, aux, voc, dsp.bits, key,
+                                    noise=noise)
 
     if mu_law and voc.mode == "RAW":
         mu = voc.n_classes(dsp.bits) - 1
@@ -230,7 +277,7 @@ def _generate_device(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
 _generate_device_jit = jax.jit(
     _generate_device,
     static_argnames=("voc", "dsp", "target", "overlap", "mu_law",
-                     "use_pallas"))
+                     "use_pallas", "interpret", "compute_dtype"))
 
 
 @partial(jax.jit, static_argnames=("voc",))
@@ -240,14 +287,17 @@ def _upsample_jit(p_upsample, mels, voc: WaveRNNConfig):
 
 def generate_fast(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
                   target: Optional[int] = None, overlap: Optional[int] = None,
-                  mu_law: bool = True, use_pallas: bool = True):
+                  mu_law: bool = True, use_pallas: bool = True,
+                  interpret: bool = False, compute_dtype=jnp.bfloat16,
+                  noise=None):
     """Production generation path: one jit-compiled program, float32 xfade
     on-device (vs the reference's host float64 loop). Returns (wave_len,)
     float32 on device."""
     target = voc.target if target is None else target
     overlap = voc.overlap if overlap is None else overlap
     return _generate_device_jit(params, jnp.asarray(mels), voc, dsp, key,
-                                target, overlap, mu_law, use_pallas)
+                                target, overlap, mu_law, use_pallas,
+                                interpret, compute_dtype, noise)
 
 
 def generate_multi(params, mels_list, voc: WaveRNNConfig, dsp: DSPConfig,

@@ -78,10 +78,16 @@ def xfade_and_unfold(y, target: int, overlap: int):
 
 
 def xfade_and_unfold_jax(y, overlap: int):
-    """jit-friendly jnp version of xfade_and_unfold (same math, float32)."""
+    """jit-friendly jnp version of xfade_and_unfold (same math, float32).
+
+    Folds only overlap PAIRWISE (target >= overlap always holds for the
+    reference configs, hparams.py:59-60), so the overlap-add decomposes into
+    pure slicing: per-fold bodies plus boundary sums — no scatter (a
+    1.5M-element ``.at[idx].add`` costs ~10 ms/launch on TPU; this form is
+    reshape/concat only and fuses into the generation program).
+    """
     num_folds, length = y.shape
     target = length - 2 * overlap
-    total_len = num_folds * (target + overlap) + overlap
 
     silence_len = overlap // 2
     fade_len = overlap - silence_len
@@ -92,10 +98,22 @@ def xfade_and_unfold_jax(y, overlap: int):
     y = y.at[:, :overlap].multiply(fade_in)
     y = y.at[:, -overlap:].multiply(fade_out)
 
-    starts = np.arange(num_folds) * (target + overlap)
-    idx = (starts[:, None] + np.arange(length)[None, :]).reshape(-1)
-    out = jnp.zeros((total_len,), y.dtype)
-    return out.at[idx].add(y.reshape(-1))
+    if target < overlap:  # not reachable with reference configs
+        total_len = num_folds * (target + overlap) + overlap
+        starts = np.arange(num_folds) * (target + overlap)
+        idx = (starts[:, None] + np.arange(length)[None, :]).reshape(-1)
+        out = jnp.zeros((total_len,), y.dtype)
+        return out.at[idx].add(y.reshape(-1))
+
+    # head: fold 0's warmup region (silence + fade-in), no predecessor
+    # then per fold: body [overlap, target+overlap) + boundary sum of this
+    # fold's fade-out tail with the next fold's faded-in head
+    bodies = y[:, overlap:target + overlap]                    # (B, target)
+    bounds = y[:, target + overlap:]                           # (B, overlap)
+    bounds = bounds.at[:num_folds - 1].add(y[1:, :overlap])
+    return jnp.concatenate(
+        [y[0, :overlap],
+         jnp.concatenate([bodies, bounds], axis=1).reshape(-1)])
 
 
 def pad_tensor(x, pad: int, side: str = "both"):

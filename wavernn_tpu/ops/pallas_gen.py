@@ -20,6 +20,19 @@ step reads a contiguous sublane-major (B, ·) tile; samples accumulate in a
 (B, chunk) VMEM scratch (lane-iota select) and flush once per chunk — every
 per-step vector stays sublane-major, avoiding the per-step sublane->lane
 relayout that a (T, B) row write would cost (~40% of step time measured).
+
+Two conditioning modes:
+  * ``generate_pallas`` / ``generate_pallas_with_state`` — materialized:
+    the caller supplies sample-rate (B, T, ·) mels_up/aux (upsampled+folded
+    outside). Also the exact-seam / streaming state-I/O variant and the
+    block-sparse experiment.
+  * ``generate_pallas_fused`` — fused: conditioning stays at MEL RATE; the
+    kernel streams K shifted rows of a tiny folded frame array, applies the
+    upsampler's polyphase filter (ops/polyphase.py) in-register and hoists
+    all aux-stream matmuls to once per hop-aligned chunk. This is the
+    production batched-generation path: it removes the sample-rate
+    upsample/fold stages (~GBs of HBM traffic and ~40% of end-to-end
+    latency on a 67 s utterance) entirely.
 """
 from __future__ import annotations
 
@@ -51,6 +64,40 @@ def _dot(a, w, out_dtype=jnp.float32):
     return jax.lax.dot_general(
         a, w, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=out_dtype)
+
+
+def _sample_step(logits, u_blk, *, mol: bool, use_prng: bool,
+                 n_classes: int, nr_mix: int):
+    """Draw one sample per row from the output head's logits (B, n_classes).
+
+    MOL: Gumbel-argmax mixture pick + inverse-CDF logistic
+    (utils/distribution.py:87-123 semantics); RAW: Gumbel-argmax categorical
+    over the 2**bits classes, from streamed uniforms or the on-core PRNG.
+    Returns (B,) float32 in [-1, 1].
+    """
+    if mol:
+        lp = logits[:, :nr_mix]
+        gumbel = lp - jnp.log(-jnp.log(u_blk[:, :nr_mix]))
+        am = jnp.argmax(gumbel, axis=-1)                      # (B,)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, lp.shape, 1)
+               == am[:, None])
+        means = jnp.sum(jnp.where(sel, logits[:, nr_mix:2 * nr_mix], 0.0),
+                        axis=-1)
+        log_s = jnp.sum(jnp.where(sel, logits[:, 2 * nr_mix:3 * nr_mix],
+                                  0.0), axis=-1)
+        log_s = jnp.maximum(log_s, LOG_SCALE_MIN)
+        u_s = u_blk[:, nr_mix]                                # (B,)
+        sample = means + jnp.exp(log_s) * (jnp.log(u_s)
+                                           - jnp.log(1.0 - u_s))
+        return jnp.clip(sample, -1.0, 1.0)
+    if use_prng:
+        rb = pltpu.prng_random_bits(logits.shape)
+        u = (rb >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-9
+    else:
+        u = u_blk
+    g = -jnp.log(-jnp.log(u))
+    idx = jnp.argmax(logits + g, axis=-1)
+    return 2.0 * idx.astype(jnp.float32) / (n_classes - 1.0) - 1.0
 
 
 SPARSE_BR, SPARSE_BC = 8, 128  # native f32 VMEM tile (sublane x lane)
@@ -214,31 +261,9 @@ def _make_kernel(voc: WaveRNNConfig, bits: int, chunk: int, n_mels: int,
                 + b2_ref[:], 0.0)
             logits = _dot(hf.astype(cdtype), w3_ref[:]) + b3_ref[:]  # (B, n_classes)
 
-            if mol:
-                u_blk = u_ref[i]                                      # (B, nr_mix+1)
-                lp = logits[:, :nr_mix]
-                gumbel = lp - jnp.log(-jnp.log(u_blk[:, :nr_mix]))
-                am = jnp.argmax(gumbel, axis=-1)                      # (B,)
-                sel = (jax.lax.broadcasted_iota(jnp.int32, lp.shape, 1)
-                       == am[:, None])
-                means = jnp.sum(jnp.where(sel, logits[:, nr_mix:2 * nr_mix], 0.0),
-                                axis=-1)
-                log_s = jnp.sum(jnp.where(sel, logits[:, 2 * nr_mix:3 * nr_mix],
-                                          0.0), axis=-1)
-                log_s = jnp.maximum(log_s, LOG_SCALE_MIN)
-                u_s = u_blk[:, nr_mix]                                # (B,)
-                sample = means + jnp.exp(log_s) * (jnp.log(u_s)
-                                                   - jnp.log(1.0 - u_s))
-                sample = jnp.clip(sample, -1.0, 1.0)
-            else:
-                if use_prng:
-                    rb = pltpu.prng_random_bits(logits.shape)
-                    u = (rb >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-9
-                else:
-                    u = u_ref[i]
-                g = -jnp.log(-jnp.log(u))
-                idx = jnp.argmax(logits + g, axis=-1)
-                sample = 2.0 * idx.astype(jnp.float32) / (n_classes - 1.0) - 1.0
+            sample = _sample_step(logits, u_ref[i], mol=mol,
+                                  use_prng=use_prng, n_classes=n_classes,
+                                  nr_mix=nr_mix)
 
             h1_ref[:] = h1
             h2_ref[:] = h2
@@ -360,25 +385,14 @@ def generate_pallas_sparse(params, mels_up, aux, voc: WaveRNNConfig, bits: int,
         sparse_static=tuple(sparse_static))
 
 
-def _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise, chunk,
-                          compute_dtype, interpret, with_state, init_state,
-                          state_snapshot_at, sparse_static=(),
-                          sparse_arrays=(), gates_dtype=jnp.float32):
-    B, T, n_mels = mels_up.shape
-    R, FC, A = voc.rnn_dims, voc.fc_dims, voc.aux_dims
-    n_classes = voc.n_classes(bits)
-    mol = voc.mode == "MOL"
-    use_prng = (not mol) and noise is None
+def _noise_stream(key, noise, T_pad: int, B: int, n_classes: int, mol: bool):
+    """Build the (T_pad, B, NU) sampling-noise stream + an int32 PRNG seed.
 
-    T_pad = -(-T // chunk) * chunk
-    cond = jnp.concatenate([mels_up, aux], axis=-1)          # (B, T, n_mels+4A)
-    cond = jnp.pad(cond, ((0, 0), (0, T_pad - T), (0, 0)))
-    cond = jnp.swapaxes(cond, 0, 1)                           # (T_pad, B, ·)
-
-    # all noise rides in ONE (T_pad, B, NU) stream so every per-step read is
-    # a (B, ·) sublane-major tile (a separate (T, B) u_s would make its row
-    # read lane-major and force a per-step relayout)
-    k_seed, k1, k2 = jax.random.split(key, 3)
+    All noise rides in ONE time-major stream so every per-step read is a
+    (B, ·) sublane-major tile (a separate (T, B) u_s would make its row read
+    lane-major and force a per-step relayout).
+    """
+    k_seed, k1, _ = jax.random.split(key, 3)
     if mol:
         nr_mix = n_classes // 3
         if noise is None:
@@ -397,9 +411,28 @@ def _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise, chunk,
                         constant_values=0.5)
         else:
             u = jnp.zeros((T_pad, B, 1), jnp.float32)
-    NU = u.shape[-1]
     seed = jax.random.randint(k_seed, (1,), 0, np.iinfo(np.int32).max,
                               dtype=jnp.int32)
+    return seed, u
+
+
+def _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise, chunk,
+                          compute_dtype, interpret, with_state, init_state,
+                          state_snapshot_at, sparse_static=(),
+                          sparse_arrays=(), gates_dtype=jnp.float32):
+    B, T, n_mels = mels_up.shape
+    R, FC, A = voc.rnn_dims, voc.fc_dims, voc.aux_dims
+    n_classes = voc.n_classes(bits)
+    mol = voc.mode == "MOL"
+    use_prng = (not mol) and noise is None
+
+    T_pad = -(-T // chunk) * chunk
+    cond = jnp.concatenate([mels_up, aux], axis=-1)          # (B, T, n_mels+4A)
+    cond = jnp.pad(cond, ((0, 0), (0, T_pad - T), (0, 0)))
+    cond = jnp.swapaxes(cond, 0, 1)                           # (T_pad, B, ·)
+
+    seed, u = _noise_stream(key, noise, T_pad, B, n_classes, mol)
+    NU = u.shape[-1]
 
     cd = compute_dtype
     gd = gates_dtype  # gate-path biases live in the gate dtype so the
@@ -508,3 +541,222 @@ def _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise, chunk,
         interpret=interpret,
     )(seed, cond, u, *weights, h1_0, h2_0, x_0_pad)
     return (out[:, :T], (s_h1, s_h2, s_x[:, 0]))
+
+
+# --------------------------------------------------------------------------
+# Fused-conditioning kernel: mel-rate streaming + in-kernel polyphase
+# --------------------------------------------------------------------------
+
+def _make_fused_kernel(voc: WaveRNNConfig, bits: int, hop: int, n_mels: int,
+                       K: int, aux_tap: int, mol: bool, use_prng: bool,
+                       gates_dtype=jnp.float32):
+    """Sample-loop kernel that upsamples its own conditioning.
+
+    Instead of streaming sample-rate (chunk, B, n_mels + 4A) blocks, each
+    grid step (= one hop-length chunk, phase-aligned to a mel frame) reads K
+    shifted frame rows of a tiny folded frame array and
+
+      * projects the K mel frames through the I-layer's mel columns ONCE,
+        then per step combines them with the polyphase scalars phi[j, p]
+        (ops/polyphase.py) — 6 (B, R) FMAs replace the per-step
+        (B, 112) @ (112, R) conditioning matmul;
+      * hoists ALL aux-stream matmuls (a1 -> I, a2 -> rnn2, a3 -> fc1,
+        a4 -> fc2) out of the inner loop — aux is a frame repeat
+        (fatchord:85-87), constant across the chunk's hop samples.
+
+    HBM conditioning traffic drops from ~208 floats/step/fold to
+    ~208 floats/FRAME/fold (hop x less), and the per-step serial matmul
+    chain loses four launches.
+    """
+    R = voc.rnn_dims
+    FC = voc.fc_dims
+    A = voc.aux_dims
+    n_classes = voc.n_classes(bits)
+    nr_mix = n_classes // 3 if mol else 0
+    gd = gates_dtype
+
+    def kernel(seed_ref,   # SMEM (1,) scalar prefetch
+               phi_ref,    # SMEM (K, hop) polyphase taps
+               *rest):
+        fr = rest[:K]      # K x (1, B, n_mels + 4A) shifted frame rows
+        (u_ref,
+         w_Imel_ref, w_Ia1_ref, w_Ix_ref, b_I_ref,
+         wi1_ref, wh1_ref, bi1_ref, bh1_ref,
+         wi2x_ref, wi2a_ref, wh2_ref, bi2_ref, bh2_ref,
+         w1x_ref, w1a_ref, b1_ref,
+         w2x_ref, w2a_ref, b2_ref,
+         w3_ref, b3_ref,
+         out_ref, h1_ref, h2_ref, x_ref, acc_ref) = rest[K:]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            h1_ref[:] = jnp.zeros_like(h1_ref)
+            h2_ref[:] = jnp.zeros_like(h2_ref)
+            x_ref[:] = jnp.zeros_like(x_ref)
+            if use_prng:
+                pltpu.prng_seed(seed_ref[0])
+
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, acc_ref.shape, 1)
+        cdtype = w_Imel_ref.dtype
+
+        def mmd(op, w_ref):
+            out = _dot(op.astype(w_ref.dtype), w_ref[:], jnp.float32)
+            return out if gd == jnp.float32 else out.astype(gd)
+
+        # ---- per-chunk hoisted conditioning (constant for hop steps) ----
+        # mel taps projected through the I layer: (B, R) f32 each
+        ps = [_dot(fr[j][0][:, :n_mels].astype(cdtype), w_Imel_ref[:])
+              for j in range(K)]
+        a = fr[aux_tap][0][:, n_mels:]                        # (B, 4A)
+        base_I = (_dot(a[:, :A].astype(cdtype), w_Ia1_ref[:])
+                  + b_I_ref[:])                               # f32 (B, R)
+        gi2_a = mmd(a[:, A:2 * A], wi2a_ref) + bi2_ref[:]
+        f1_a = mmd(a[:, 2 * A:3 * A], w1a_ref) + b1_ref[:]
+        f2_a = mmd(a[:, 3 * A:], w2a_ref) + b2_ref[:]
+
+        def body(i, _):
+            x = x_ref[:, 0:1]                                 # (B, 1) f32
+            h1 = h1_ref[:]
+            h2 = h2_ref[:]
+
+            inp = base_I + x * w_Ix_ref[:]
+            for j in range(K):
+                inp = inp + phi_ref[j, i] * ps[j]
+            inp = inp.astype(gd)
+
+            gi1 = mmd(inp, wi1_ref) + bi1_ref[:]
+            gh1 = mmd(h1, wh1_ref) + bh1_ref[:]
+            h1 = _gates(gi1, gh1, h1)
+            xr = inp + h1
+
+            gi2 = mmd(xr, wi2x_ref) + gi2_a
+            gh2 = mmd(h2, wh2_ref) + bh2_ref[:]
+            h2 = _gates(gi2, gh2, h2)
+            x2 = xr + h2
+
+            hf = jnp.maximum(mmd(x2, w1x_ref) + f1_a, 0.0)
+            hf = jnp.maximum(mmd(hf, w2x_ref) + f2_a, 0.0)
+            logits = _dot(hf.astype(cdtype), w3_ref[:]) + b3_ref[:]
+
+            sample = _sample_step(logits, u_ref[i], mol=mol,
+                                  use_prng=use_prng, n_classes=n_classes,
+                                  nr_mix=nr_mix)
+
+            h1_ref[:] = h1
+            h2_ref[:] = h2
+            acc_ref[:] = jnp.where(lane_iota == i, sample[:, None],
+                                   acc_ref[:])
+            x_ref[:, 0] = sample
+            return 0
+
+        jax.lax.fori_loop(0, hop, body, 0)
+        out_ref[0] = acc_ref[:]
+
+    return kernel
+
+
+@partial(jax.jit,
+         static_argnames=("voc", "bits", "hop", "aux_tap", "fold_chunks",
+                          "compute_dtype", "gates_dtype", "interpret"))
+def generate_pallas_fused(params, frames_folded, phi, voc: WaveRNNConfig,
+                          bits: int, key, hop: int, aux_tap: int,
+                          fold_chunks: int, noise=None,
+                          compute_dtype=jnp.bfloat16,
+                          gates_dtype=jnp.float32, interpret: bool = False):
+    """Persistent-weights sample loop with IN-KERNEL conditioning upsample.
+
+    frames_folded: (fold_chunks + K - 1, num_folds, n_mels + 4*aux_dims)
+      frame-rate folded conditioning from ops/polyphase.build_folded_frames;
+    phi: (K, hop) polyphase tap table from ops/polyphase.phi_table.
+    Returns samples (num_folds, fold_chunks * hop) float32.
+
+    Replaces upsample-to-sample-rate + fold_with_overlap + generate_pallas
+    for the production batched-generation path (fatchord_version.py:169-264)
+    whenever target/overlap are hop multiples; trajectories match those of
+    the materialized path except in the last fold's zero-padded tail (the
+    materialized path zeroes conditioning beyond the utterance where this
+    path still sees real edge frames — all such samples fall beyond
+    wave_len and are discarded by xfade/trim).
+    """
+    nf_loc, B, C = frames_folded.shape
+    K, hop_ = phi.shape
+    assert hop_ == hop and nf_loc == fold_chunks + K - 1
+    R = voc.rnn_dims
+    n_mels = C - 4 * voc.aux_dims
+    n_classes = voc.n_classes(bits)
+    mol = voc.mode == "MOL"
+    use_prng = (not mol) and noise is None
+    T = fold_chunks * hop
+
+    seed, u = _noise_stream(key, noise, T, B, n_classes, mol)
+    NU = u.shape[-1]
+
+    cd = compute_dtype
+    gd = gates_dtype
+    w_I = params["I"]["w"]  # rows: [x, mel(n_mels), a1(A)]
+    A = voc.aux_dims
+    FCd = voc.fc_dims
+    weights = [
+        w_I[1:1 + n_mels].astype(cd),            # w_Imel
+        w_I[1 + n_mels:].astype(cd),             # w_Ia1
+        w_I[0:1].astype(jnp.float32),            # w_Ix
+        params["I"]["b"][None].astype(jnp.float32),
+        params["rnn1"]["wi"].astype(cd), params["rnn1"]["wh"].astype(cd),
+        params["rnn1"]["bi"][None].astype(gd),
+        params["rnn1"]["bh"][None].astype(gd),
+        params["rnn2"]["wi"][:R].astype(cd), params["rnn2"]["wi"][R:].astype(cd),
+        params["rnn2"]["wh"].astype(cd),
+        params["rnn2"]["bi"][None].astype(gd),
+        params["rnn2"]["bh"][None].astype(gd),
+        params["fc1"]["w"][:R].astype(cd), params["fc1"]["w"][R:].astype(cd),
+        params["fc1"]["b"][None].astype(gd),
+        params["fc2"]["w"][:FCd].astype(cd), params["fc2"]["w"][FCd:].astype(cd),
+        params["fc2"]["b"][None].astype(gd),
+        params["fc3"]["w"].astype(cd),
+        params["fc3"]["b"][None].astype(jnp.float32),
+    ]
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda t, s: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((K, hop), lambda t, s: (0, 0),
+                     memory_space=pltpu.SMEM),                # phi
+    ] + [
+        pl.BlockSpec((1, B, C), lambda t, s, j=j: (t + j, 0, 0),
+                     memory_space=pltpu.VMEM)                 # frame taps
+        for j in range(K)
+    ] + [
+        pl.BlockSpec((hop, B, NU), lambda t, s: (t, 0, 0),
+                     memory_space=pltpu.VMEM),                # noise
+    ] + [const_spec(w.shape) for w in weights]
+
+    # output is (fold_chunks, B, hop): Mosaic requires the last two block
+    # dims be (8, 128)-divisible OR equal to the array dims — hop (275) is
+    # not lane-divisible, so chunks stack on a leading grid dim and the
+    # (B, T) layout is restored by one cheap XLA transpose outside.
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(fold_chunks,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, B, hop), lambda t, s: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((B, R), gd),               # h1
+            pltpu.VMEM((B, R), gd),               # h2
+            pltpu.VMEM((B, 128), jnp.float32),    # x
+            pltpu.VMEM((B, hop), jnp.float32),    # sample accumulator
+        ],
+    )
+    kernel = _make_fused_kernel(voc, bits, hop, n_mels, K, aux_tap, mol,
+                                use_prng, gates_dtype=gd)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((fold_chunks, B, hop), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(seed, phi, *([frames_folded] * K), u, *weights)
+    return jnp.swapaxes(out, 0, 1).reshape(B, T)
