@@ -97,6 +97,7 @@ def main():
         result.update(benchmarks.kernel_variants_bench())
     if "train" not in skip:
         result.update(benchmarks.train_bench())
+        result.update(benchmarks.taco_train_bench())
     if "tts" not in skip:
         result.update(benchmarks.taco_decode_bench())
         result.update(benchmarks.tts_e2e_bench())

@@ -173,3 +173,37 @@ def test_generate_fast_uses_fused_and_matches_scan_pipeline(rng):
     assert got.shape == want.shape
     # identical noise => lockstep trajectories up to matmul-order rounding
     np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_generate_multi_fused_matches_materialized(rng):
+    """Serving path on the fused kernel (per-utterance frame folds, one
+    launch) vs the materialized upsample+fold kernel path, identical
+    injected noise across the concatenated fold batch."""
+    from wavernn_tpu.ops.fold import num_folds_for
+
+    voc = _cfg("MOL")
+    params = wr.init_wavernn(jax.random.PRNGKey(3), voc, DSP)
+    target, overlap = 2200, 550
+    fold_len = target + 2 * overlap
+    frames = (30, 45, 24)
+    mels_list = [rng.uniform(0, 1, (DSP.num_mels, f)).astype(np.float32)
+                 for f in frames]
+    B_total = sum(num_folds_for(f * DSP.hop_length, target, overlap)
+                  for f in frames)
+    nr_mix = voc.n_classes(DSP.bits) // 3
+    noise = (jnp.asarray(rng.uniform(1e-5, 1 - 1e-5,
+                                     (fold_len, B_total, nr_mix))
+                         .astype(np.float32)),
+             jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (fold_len, B_total))
+                         .astype(np.float32)))
+    got = wr.generate_multi(params, mels_list, voc, DSP,
+                            jax.random.PRNGKey(0), target=target,
+                            overlap=overlap, use_pallas=True, interpret=True,
+                            noise=noise)
+    want = wr.generate_multi(params, mels_list, voc, DSP,
+                             jax.random.PRNGKey(0), target=target,
+                             overlap=overlap, use_pallas=False, noise=noise)
+    assert len(got) == len(want) == 3
+    for mel, g, w in zip(mels_list, got, want):
+        assert g.shape == w.shape == ((mel.shape[1] - 1) * DSP.hop_length,)
+        np.testing.assert_allclose(g, w, atol=2e-3)

@@ -127,3 +127,39 @@ def test_tacotron_decode_kernel_on_hardware(tpu_backend):
     # (different matmul tilings); lockstep keeps them at noise level
     np.testing.assert_allclose(np.asarray(mel_k), np.asarray(mel_s),
                                atol=5e-3)
+
+
+def test_in_kernel_prng_sampling_on_hardware(tpu_backend):
+    """Production sampling noise comes from the on-core PRNG (no (T, B, ·)
+    uniforms tensor in HBM). No oracle exists for the hardware PRNG stream,
+    so gate on: finite + bounded + non-degenerate draws, key-determinism,
+    and key-sensitivity — for both MOL and RAW. (Would have caught the
+    signed-shift bug: prng_random_bits >> 8 sign-fills, u < 0 -> log NaN.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from wavernn_tpu.config import DSPConfig, WaveRNNConfig
+    from wavernn_tpu.models import wavernn as wr
+    from wavernn_tpu.ops.pallas_gen import generate_pallas
+
+    dsp = DSPConfig()
+    rng = np.random.RandomState(0)
+    for mode in ("MOL", "RAW"):
+        voc = WaveRNNConfig(mode=mode)
+        params = wr.init_wavernn(jax.random.PRNGKey(1), voc, dsp)
+        B, T = 8, 512
+        mels_up = jnp.asarray(
+            rng.randn(B, T, dsp.num_mels).astype(np.float32)) * 0.3
+        aux = jnp.asarray(
+            rng.randn(B, T, voc.res_out_dims).astype(np.float32)) * 0.3
+        a = np.asarray(generate_pallas(params, mels_up, aux, voc, dsp.bits,
+                                       jax.random.PRNGKey(0)))
+        b = np.asarray(generate_pallas(params, mels_up, aux, voc, dsp.bits,
+                                       jax.random.PRNGKey(7)))
+        c = np.asarray(generate_pallas(params, mels_up, aux, voc, dsp.bits,
+                                       jax.random.PRNGKey(0)))
+        assert np.isfinite(a).all(), mode
+        assert a.min() >= -1.0 and a.max() <= 1.0, mode
+        assert a.std() > 1e-3, mode
+        assert not np.allclose(a, b), mode   # key-sensitive
+        np.testing.assert_allclose(a, c)     # key-deterministic

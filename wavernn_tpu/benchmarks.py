@@ -379,6 +379,49 @@ def train_bench(steps: int = 30, batch_size: int = 32) -> dict:
             "train_batch_size": batch_size, "train_seq_len": seq_len}
 
 
+def taco_train_bench(steps: int = 20) -> dict:
+    """Full-size Tacotron teacher-forcing training throughput at the
+    pretrained checkpoint's session setting (r=2, bs 16 — the third
+    tts_schedule entry, hparams.py:84-87; reference loop
+    train_tacotron.py:156-228). LJSpeech-like shapes: 72 chars, 600 mel
+    frames. Back-to-back dispatch, single fence (pipelined steady state)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .config import Config
+    from .train import tacotron_train as tt
+
+    cfg = Config()
+    r, lr, _, bs = cfg.tts_train.schedule[2]          # (2, 1e-4, 180k, 16)
+    state = tt.create_train_state(jax.random.PRNGKey(0), cfg.tts,
+                                  cfg.dsp.num_mels, lr)
+    rng = np.random.RandomState(0)
+    n_chars, n_frames = 72, 600
+    x_ids = jnp.asarray(rng.randint(1, 148, (bs, n_chars)))
+    m = jnp.asarray(rng.uniform(-4, 4, (bs, cfg.dsp.num_mels, n_frames))
+                    .astype(np.float32))
+    x_ids.block_until_ready()
+
+    st = state
+    key = jax.random.PRNGKey(1)
+    t0 = time.time()
+    for _ in range(3):  # compile (+ donated-buffer variant) warmup, fenced
+        st, metrics = tt.train_step_tf(st, x_ids, m, cfg.tts, r, lr, key)
+        np.asarray(metrics["loss"])
+    print(f"taco train compile+warmup: {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        st, metrics = tt.train_step_tf(st, x_ids, m, cfg.tts, r, lr, key)
+    np.asarray(metrics["loss"])
+    sps = steps / (time.perf_counter() - t0)
+    _report("taco-train", True,
+            f"{sps:.2f} steps/s (r={r}, bs={bs}, {n_frames} frames)")
+    return {"taco_train_steps_per_s": round(sps, 2),
+            "taco_train_r": r, "taco_train_batch_size": bs,
+            "taco_train_mel_frames": n_frames}
+
+
 def taco_decode_bench() -> dict:
     """Tacotron free-running decode: persistent-weights Pallas kernel
     (ops/pallas_taco.py) vs the XLA scan, on the live backend.

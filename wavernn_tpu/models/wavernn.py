@@ -303,7 +303,8 @@ def generate_fast(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
 def generate_multi(params, mels_list, voc: WaveRNNConfig, dsp: DSPConfig,
                    key, target: Optional[int] = None,
                    overlap: Optional[int] = None, mu_law: bool = True,
-                   use_pallas: bool = True):
+                   use_pallas: bool = True, interpret: bool = False,
+                   noise=None):
     """Serving path: vocode a BATCH of utterances in one sample-loop launch.
 
     Each utterance is folded (fatchord batched-generation semantics); all
@@ -320,7 +321,7 @@ def generate_multi(params, mels_list, voc: WaveRNNConfig, dsp: DSPConfig,
     overlap = voc.overlap if overlap is None else overlap
     mu_law = mu_law if voc.mode == "RAW" else False
 
-    # One padded upsample call for the whole batch (not a per-utterance
+    # One padded frame-rate pass for the whole batch (not a per-utterance
     # dispatch loop): zero-padding an utterance's frames to T_max cannot
     # change its valid region — every conv in the upsampler sees only zeros
     # to the right of the voc.pad frames either way — and rounding T_max up
@@ -333,25 +334,52 @@ def generate_multi(params, mels_list, voc: WaveRNNConfig, dsp: DSPConfig,
     for i, m in enumerate(arrs):
         batch[i, :, :m.shape[-1]] = m
     mels_b = jnp.pad(jnp.asarray(batch), ((0, 0), (0, 0), (voc.pad, voc.pad)))
-    mu_b, au_b, _ = _upsample_jit(params["upsample"], mels_b, voc)
 
-    fold_m, fold_a, counts, wave_lens = [], [], [], []
-    for i, n_frames in enumerate(frames):
-        wave_lens.append((n_frames - 1) * dsp.hop_length)
-        valid = n_frames * dsp.hop_length
-        fold_m.append(F.fold_with_overlap(mu_b[i:i + 1, :valid], target,
-                                          overlap))
-        fold_a.append(F.fold_with_overlap(au_b[i:i + 1, :valid], target,
-                                          overlap))
-        counts.append(fold_m[-1].shape[0])
+    wave_lens = [(n - 1) * dsp.hop_length for n in frames]
+    if use_pallas and _fused_cond_ok(voc, dsp, target, overlap):
+        # fused kernel: per-utterance frame-rate folds concatenate on the
+        # fold axis (fold_len is utterance-independent), one kernel launch
+        from ..ops import polyphase as P
+        from ..ops.pallas_gen import generate_pallas_fused
 
-    mf = jnp.concatenate(fold_m, axis=0)
-    af = jnp.concatenate(fold_a, axis=0)
-    if use_pallas:
-        from ..ops.pallas_gen import generate_pallas
-        samples = generate_pallas(params, mf, af, voc, dsp.bits, key)
+        geo = P.geometry(voc.upsample_factors, voc.pad)
+        phi = P.phi_table(params["upsample"]["up_convs"],
+                          voc.upsample_factors, geo)
+        aux_b, _ = melresnet_apply(params["upsample"]["resnet"], mels_b,
+                                   training=False)
+        frames_list, counts = [], []
+        fold_chunks = (target + 2 * overlap) // geo.hop
+        for i, n_frames in enumerate(frames):
+            nf, stride_f, fold_chunks, _ = P.fold_geometry(
+                n_frames * dsp.hop_length, target, overlap, geo.hop)
+            frames_list.append(P.build_folded_frames(
+                jnp.swapaxes(mels_b[i, :, :n_frames + 2 * voc.pad], 0, 1),
+                jnp.swapaxes(aux_b[i, :, :n_frames], 0, 1),
+                nf, stride_f, fold_chunks, geo.K, geo.d_lo))
+            counts.append(nf)
+        samples = generate_pallas_fused(
+            params, jnp.concatenate(frames_list, axis=1), phi, voc,
+            dsp.bits, key, geo.hop, -geo.d_lo, fold_chunks, noise=noise,
+            interpret=interpret)
     else:
-        samples = generate_scan(params, mf, af, voc, dsp.bits, key)
+        mu_b, au_b, _ = _upsample_jit(params["upsample"], mels_b, voc)
+        fold_m, fold_a, counts = [], [], []
+        for i, n_frames in enumerate(frames):
+            valid = n_frames * dsp.hop_length
+            fold_m.append(F.fold_with_overlap(mu_b[i:i + 1, :valid], target,
+                                              overlap))
+            fold_a.append(F.fold_with_overlap(au_b[i:i + 1, :valid], target,
+                                              overlap))
+            counts.append(fold_m[-1].shape[0])
+        mf = jnp.concatenate(fold_m, axis=0)
+        af = jnp.concatenate(fold_a, axis=0)
+        if use_pallas:
+            from ..ops.pallas_gen import generate_pallas
+            samples = generate_pallas(params, mf, af, voc, dsp.bits, key,
+                                      noise=noise, interpret=interpret)
+        else:
+            samples = generate_scan(params, mf, af, voc, dsp.bits, key,
+                                    noise=noise)
     samples = np.asarray(samples, dtype=np.float64)
 
     outs = []

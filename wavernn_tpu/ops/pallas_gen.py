@@ -13,7 +13,8 @@ inside ONE kernel launch:
     compute;
   * GRU state persists in VMEM scratch across grid steps;
   * MOL sampling (Gumbel mixture pick + inverse-CDF logistic) executes on
-    the VPU in-kernel; RAW mode draws Gumbel noise from the on-core PRNG.
+    the VPU in-kernel; production draws all sampling noise from the
+    on-core PRNG (MOL and RAW) — tests/replay inject uniform streams.
 
 Layouts: conditioning and noise stream time-major (T, B, ·) so each inner
 step reads a contiguous sublane-major (B, ·) tile; samples accumulate in a
@@ -72,10 +73,20 @@ def _sample_step(logits, u_blk, *, mol: bool, use_prng: bool,
 
     MOL: Gumbel-argmax mixture pick + inverse-CDF logistic
     (utils/distribution.py:87-123 semantics); RAW: Gumbel-argmax categorical
-    over the 2**bits classes, from streamed uniforms or the on-core PRNG.
+    over the 2**bits classes. Noise comes from streamed uniforms (tests /
+    replay / exact parity) or the on-core PRNG (production: no (T, B, ·)
+    noise tensor in HBM — 68 MB per 67 s utterance at 128 folds, linear in
+    T x B).
     Returns (B,) float32 in [-1, 1].
     """
     if mol:
+        if use_prng:
+            # logical shift: prng_random_bits yields SIGNED int32 and an
+            # arithmetic >> would sign-fill, making u negative -> log NaN
+            rb = jax.lax.shift_right_logical(
+                pltpu.prng_random_bits((logits.shape[0], nr_mix + 1)), 8)
+            u_blk = (rb.astype(jnp.float32) * (1.0 / (1 << 24))
+                     * (1.0 - 2e-5) + 1e-5)
         lp = logits[:, :nr_mix]
         gumbel = lp - jnp.log(-jnp.log(u_blk[:, :nr_mix]))
         am = jnp.argmax(gumbel, axis=-1)                      # (B,)
@@ -91,8 +102,9 @@ def _sample_step(logits, u_blk, *, mol: bool, use_prng: bool,
                                            - jnp.log(1.0 - u_s))
         return jnp.clip(sample, -1.0, 1.0)
     if use_prng:
-        rb = pltpu.prng_random_bits(logits.shape)
-        u = (rb >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-9
+        rb = jax.lax.shift_right_logical(pltpu.prng_random_bits(logits.shape),
+                                         8)
+        u = rb.astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-9
     else:
         u = u_blk
     g = -jnp.log(-jnp.log(u))
@@ -392,25 +404,21 @@ def _noise_stream(key, noise, T_pad: int, B: int, n_classes: int, mol: bool):
     (B, ·) sublane-major tile (a separate (T, B) u_s would make its row read
     lane-major and force a per-step relayout).
     """
-    k_seed, k1, _ = jax.random.split(key, 3)
-    if mol:
-        nr_mix = n_classes // 3
-        if noise is None:
-            u = jax.random.uniform(k1, (T_pad, B, nr_mix + 1), minval=1e-5,
-                                   maxval=1.0 - 1e-5)
-        else:
-            u_mix, u_s = noise
-            u_mix = jnp.pad(u_mix, ((0, T_pad - u_mix.shape[0]), (0, 0), (0, 0)),
-                            constant_values=0.5)
-            u_s = jnp.pad(u_s, ((0, T_pad - u_s.shape[0]), (0, 0)),
-                          constant_values=0.5)
-            u = jnp.concatenate([u_mix, u_s[..., None]], axis=-1)
-    else:
-        if noise is not None:  # streamed Gumbel uniforms (tests / replay)
-            u = jnp.pad(noise, ((0, T_pad - noise.shape[0]), (0, 0), (0, 0)),
+    k_seed, _, _ = jax.random.split(key, 3)
+    if noise is None:
+        # production: the kernel draws from the on-core PRNG (seeded below);
+        # stream a dummy so the block specs stay uniform
+        u = jnp.zeros((T_pad, B, 1), jnp.float32)
+    elif mol:
+        u_mix, u_s = noise
+        u_mix = jnp.pad(u_mix, ((0, T_pad - u_mix.shape[0]), (0, 0), (0, 0)),
                         constant_values=0.5)
-        else:
-            u = jnp.zeros((T_pad, B, 1), jnp.float32)
+        u_s = jnp.pad(u_s, ((0, T_pad - u_s.shape[0]), (0, 0)),
+                      constant_values=0.5)
+        u = jnp.concatenate([u_mix, u_s[..., None]], axis=-1)
+    else:  # streamed RAW Gumbel uniforms (tests / replay)
+        u = jnp.pad(noise, ((0, T_pad - noise.shape[0]), (0, 0), (0, 0)),
+                    constant_values=0.5)
     seed = jax.random.randint(k_seed, (1,), 0, np.iinfo(np.int32).max,
                               dtype=jnp.int32)
     return seed, u
@@ -424,7 +432,7 @@ def _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise, chunk,
     R, FC, A = voc.rnn_dims, voc.fc_dims, voc.aux_dims
     n_classes = voc.n_classes(bits)
     mol = voc.mode == "MOL"
-    use_prng = (not mol) and noise is None
+    use_prng = noise is None
 
     T_pad = -(-T // chunk) * chunk
     cond = jnp.concatenate([mels_up, aux], axis=-1)          # (B, T, n_mels+4A)
@@ -685,7 +693,7 @@ def generate_pallas_fused(params, frames_folded, phi, voc: WaveRNNConfig,
     n_mels = C - 4 * voc.aux_dims
     n_classes = voc.n_classes(bits)
     mol = voc.mode == "MOL"
-    use_prng = (not mol) and noise is None
+    use_prng = noise is None
     T = fold_chunks * hop
 
     seed, u = _noise_stream(key, noise, T, B, n_classes, mol)

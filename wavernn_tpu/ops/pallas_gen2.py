@@ -126,8 +126,11 @@ def _make_kernel(voc: WaveRNNConfig, bits: int, chunk: int, mol: bool,
                 sample = jnp.clip(sample, -1.0, 1.0)
             else:
                 if use_prng:
-                    rb = pltpu.prng_random_bits(logits.shape)
-                    u = (rb >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-9
+                    # logical shift: random bits are SIGNED int32 (an
+                    # arithmetic >> sign-fills -> negative u -> log NaN)
+                    rb = jax.lax.shift_right_logical(
+                        pltpu.prng_random_bits(logits.shape), 8)
+                    u = rb.astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-9
                 else:
                     u = u_mix_ref[i]
                 g = -jnp.log(-jnp.log(u))
