@@ -65,6 +65,53 @@ def fold_batch_sweep(steps: int = 16384, batches=(1, 2, 4, 8, 16, 32, 64, 128)):
     return curve
 
 
+def fold_batch_sweep_fused(steps: int = 16384,
+                           batches=(1, 2, 4, 8, 16, 32, 64, 128)):
+    """Same saturation curve for the fused-conditioning kernel (the
+    production path: frame-rate streams + in-kernel polyphase upsample)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wavernn_tpu.config import DSPConfig, WaveRNNConfig
+    from wavernn_tpu.models import wavernn as wr
+    from wavernn_tpu.ops import polyphase as P
+    from wavernn_tpu.ops.pallas_gen import generate_pallas_fused
+
+    dsp = DSPConfig()
+    voc = WaveRNNConfig(mode="MOL")
+    params = wr.init_wavernn(jax.random.PRNGKey(1), voc, dsp)
+    geo = P.geometry(voc.upsample_factors, voc.pad)
+    phi = P.phi_table(params["upsample"]["up_convs"], voc.upsample_factors,
+                      geo)
+    fold_chunks = steps // geo.hop
+    Tf = fold_chunks * geo.hop
+    curve = {}
+    for B in batches:
+        frames = jax.random.normal(
+            jax.random.PRNGKey(7),
+            (fold_chunks + geo.K - 1, B, dsp.num_mels + voc.res_out_dims),
+            jnp.float32) * 0.3
+        np.asarray(jnp.sum(frames))  # fence input placement
+
+        def run(k):
+            wav = generate_pallas_fused(params, frames, phi, voc, dsp.bits,
+                                        jax.random.PRNGKey(k), geo.hop,
+                                        -geo.d_lo, fold_chunks)
+            np.asarray(jnp.sum(wav))
+
+        run(0)  # compile
+        ts = []
+        for i in range(5):
+            t0 = time.perf_counter()
+            run(i + 1)
+            ts.append(time.perf_counter() - t0)
+        dt = float(np.median(ts))
+        curve[B] = B * Tf / dt
+        print(f"fused fold batch {B:4d}: {dt / Tf * 1e6:7.2f} us/step  "
+              f"{curve[B] / 1e6:6.3f} Msamples/s", file=sys.stderr)
+    return curve
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--cpu", action="store_true",
@@ -133,6 +180,8 @@ def main():
     if args.sweep:
         out["fold_batch_samples_per_s"] = {
             str(b): round(v, 0) for b, v in fold_batch_sweep().items()}
+        out["fold_batch_samples_per_s_fused"] = {
+            str(b): round(v, 0) for b, v in fold_batch_sweep_fused().items()}
     print(json.dumps(out))
 
 
