@@ -31,7 +31,11 @@ def main(argv=None):
     wr_p.set_defaults(batched=None)
     wr_p.add_argument("--voc_weights", default=None)
     wr_p.add_argument("--tts_weights", default=None)
-    wr_p.add_argument("--pallas", action="store_true")
+    wr_p.add_argument("--pallas", dest="pallas", action="store_true",
+                      default=None,
+                      help="force the persistent-weights TPU kernel "
+                           "(default: auto — kernel on TPU, scan on CPU)")
+    wr_p.add_argument("--no_pallas", dest="pallas", action="store_false")
 
     gl_p = subs.add_parser("griffinlim")
     gl_p.add_argument("--iters", type=int, default=32)
@@ -78,7 +82,7 @@ def main(argv=None):
             key=jax.random.PRNGKey(i), batched=batched,
             vocoder=args.vocoder,
             gl_iters=getattr(args, "iters", 32),
-            use_pallas=getattr(args, "pallas", False))
+            use_pallas=getattr(args, "pallas", None))
 
         if args.vocoder == "griffinlim":
             v_type = "griffinlim"

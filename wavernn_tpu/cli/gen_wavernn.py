@@ -26,8 +26,12 @@ def main(argv=None):
     parser.add_argument("--file", "-f", help="wav or mel npy to vocode")
     parser.add_argument("--weights", "-w", help="weights file (.npz or .pyt)")
     parser.add_argument("--gta", "-g", action="store_true")
-    parser.add_argument("--pallas", action="store_true",
-                        help="use the persistent-weights TPU kernel")
+    parser.add_argument("--pallas", dest="pallas", action="store_true",
+                        default=None,
+                        help="force the persistent-weights TPU kernel "
+                             "(default: auto — kernel on TPU, scan on CPU)")
+    parser.add_argument("--no_pallas", dest="pallas", action="store_false",
+                        help="force the portable lax.scan sample loop")
     parser.add_argument("--hp_file", default=None)
     args = parser.parse_args(argv)
 

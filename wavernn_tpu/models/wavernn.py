@@ -415,21 +415,41 @@ def generate(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
 
     mels = jnp.asarray(mels)
     wave_len = (mels.shape[-1] - 1) * dsp.hop_length
+    total_len = mels.shape[-1] * dsp.hop_length
     # pad ±voc.pad frames so the resnet sees context (fatchord:185)
     mels = jnp.pad(mels, ((0, 0), (0, 0), (voc.pad, voc.pad)))
-    mels_up, aux, _ = upsample_apply(params["upsample"], mels, voc,
-                                     training=False)
 
-    if batched:
-        mels_up = F.fold_with_overlap(mels_up, target, overlap)
-        aux = F.fold_with_overlap(aux, target, overlap)
+    if (batched and use_pallas and noise is None
+            and _fused_cond_ok(voc, dsp, target, overlap)):
+        # fused-conditioning kernel; the float64 host xfade below is shared
+        from ..ops import polyphase as P
+        from ..ops.pallas_gen import generate_pallas_fused
 
-    if use_pallas:
-        from ..ops.pallas_gen import generate_pallas
-        samples = generate_pallas(params, mels_up, aux, voc, dsp.bits, key)
+        geo = P.geometry(voc.upsample_factors, voc.pad)
+        phi = P.phi_table(params["upsample"]["up_convs"],
+                          voc.upsample_factors, geo)
+        aux_fr, _ = melresnet_apply(params["upsample"]["resnet"], mels,
+                                    training=False)
+        num_folds, stride_f, fold_chunks, _ = P.fold_geometry(
+            total_len, target, overlap, geo.hop)
+        frames = P.build_folded_frames(
+            jnp.swapaxes(mels[0], 0, 1), jnp.swapaxes(aux_fr[0], 0, 1),
+            num_folds, stride_f, fold_chunks, geo.K, geo.d_lo)
+        samples = generate_pallas_fused(params, frames, phi, voc, dsp.bits,
+                                        key, geo.hop, -geo.d_lo, fold_chunks)
     else:
-        samples = generate_scan(params, mels_up, aux, voc, dsp.bits, key,
-                                noise=noise)
+        mels_up, aux, _ = upsample_apply(params["upsample"], mels, voc,
+                                         training=False)
+        if batched:
+            mels_up = F.fold_with_overlap(mels_up, target, overlap)
+            aux = F.fold_with_overlap(aux, target, overlap)
+        if use_pallas:
+            from ..ops.pallas_gen import generate_pallas
+            samples = generate_pallas(params, mels_up, aux, voc, dsp.bits,
+                                      key)
+        else:
+            samples = generate_scan(params, mels_up, aux, voc, dsp.bits, key,
+                                    noise=noise)
     output = np.asarray(samples, dtype=np.float64)
 
     if mu_law:

@@ -15,9 +15,17 @@ from .models import wavernn as wr
 from .text import text_to_sequence
 
 
+def _auto_pallas(use_pallas):
+    """None -> pick by backend: the persistent-weights kernel on TPU, the
+    portable scan elsewhere (the Pallas TPU kernel cannot run on CPU)."""
+    if use_pallas is None:
+        return jax.default_backend() == "tpu"
+    return use_pallas
+
+
 def gen_testset(params, test_set, samples: int, batched: bool, target: int,
                 overlap: int, save_path: Path, cfg: Config, step: int = 0,
-                key=None, log=print):
+                key=None, log=print, use_pallas=None):
     """Copy-synthesis of held-out items (gen_wavernn.py:11-35): saves the
     decoded ground-truth next to the model output."""
     key = key if key is not None else jax.random.PRNGKey(0)
@@ -39,14 +47,15 @@ def gen_testset(params, test_set, samples: int, batched: bool, target: int,
         out = wr.generate(params, m[None], cfg.voc, cfg.dsp,
                           jax.random.fold_in(key, i), batched=batched,
                           target=target, overlap=overlap,
-                          mu_law=cfg.dsp.mu_law, use_pallas=False)
+                          mu_law=cfg.dsp.mu_law,
+                          use_pallas=_auto_pallas(use_pallas))
         save_wav(out, save_path / f"{k}k_steps_{i + 1}_{batch_str}.wav",
                  cfg.dsp.sample_rate)
 
 
 def gen_from_file(params, load_path: Path, save_path: Path, batched: bool,
                   target: int, overlap: int, cfg: Config, step: int = 0,
-                  key=None, use_pallas: bool = False):
+                  key=None, use_pallas=None):
     """Vocode a .wav (re-analyzed) or a saved [0,1] mel .npy
     (gen_wavernn.py:38-65)."""
     key = key if key is not None else jax.random.PRNGKey(0)
@@ -75,7 +84,8 @@ def gen_from_file(params, load_path: Path, save_path: Path, batched: bool,
                  else "gen_NOT_BATCHED")
     out = wr.generate(params, mel[None], cfg.voc, cfg.dsp, key,
                       batched=batched, target=target, overlap=overlap,
-                      mu_law=cfg.dsp.mu_law, use_pallas=use_pallas)
+                      mu_law=cfg.dsp.mu_law,
+                      use_pallas=_auto_pallas(use_pallas))
     save_wav(out, save_path / f"__{file_name}__{k}k_steps_{batch_str}.wav",
              cfg.dsp.sample_rate)
     return out
@@ -84,7 +94,7 @@ def gen_from_file(params, load_path: Path, save_path: Path, batched: bool,
 def tts_to_wav(tts_params, voc_params, text: str, cfg: Config, r: int,
                key=None, batched: bool = True, steps: int = 2000,
                vocoder: str = "wavernn", gl_iters: int = 32,
-               use_pallas: bool = False):
+               use_pallas=None):
     """Full text -> waveform (gen_tacotron.py:142-173, quick_start.py:88-120).
 
     Uses the postnet output as the vocoder conditioning (`_, m, attention =
@@ -101,7 +111,8 @@ def tts_to_wav(tts_params, voc_params, text: str, cfg: Config, r: int,
         wav = wr.generate(voc_params, m[None], cfg.voc, cfg.dsp,
                           jax.random.fold_in(key, 1), batched=batched,
                           target=cfg.voc.target, overlap=cfg.voc.overlap,
-                          mu_law=cfg.dsp.mu_law, use_pallas=use_pallas)
+                          mu_law=cfg.dsp.mu_law,
+                          use_pallas=_auto_pallas(use_pallas))
     elif vocoder == "griffinlim":
         from .dsp.griffinlim import reconstruct_waveform
         wav = reconstruct_waveform(m, cfg.dsp, n_iter=gl_iters)
