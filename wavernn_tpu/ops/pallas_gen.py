@@ -193,15 +193,21 @@ def _make_kernel(voc: WaveRNNConfig, bits: int, chunk: int, n_mels: int,
 
     def kernel(seed_ref,  # SMEM (1,)
                cond_ref,  # (chunk, B, n_mels + 4A)
-               u_ref,     # noise block: MOL (chunk,B,nr_mix+1) = mix|scale,
-                          # RAW (chunk,B,n_classes) streamed or (chunk,B,1)
-               w_Ic_ref, w_Ix_ref, b_I_ref,
-               wi1_ref, wh1_ref, bi1_ref, bh1_ref,
-               wi2x_ref, wi2a_ref, wh2_ref, bi2_ref, bh2_ref,
-               w1x_ref, w1a_ref, b1_ref,
-               w2x_ref, w2a_ref, b2_ref,
-               w3_ref, b3_ref,
                *rest):
+        # injected-noise block only when replaying (MOL (chunk,B,nr_mix+1) =
+        # mix|scale, RAW (chunk,B,n_classes)); with the on-core PRNG there
+        # is NO noise input at all — a dummy (chunk,B,1) stream would pad
+        # its trailing dim to 128 VMEM lanes (~36 MB at 128 folds, OOM at
+        # 1000+ folds for long-form generation)
+        rest = list(rest)
+        u_ref = None if use_prng else rest.pop(0)
+        (w_Ic_ref, w_Ix_ref, b_I_ref,
+         wi1_ref, wh1_ref, bi1_ref, bh1_ref,
+         wi2x_ref, wi2a_ref, wh2_ref, bi2_ref, bh2_ref,
+         w1x_ref, w1a_ref, b1_ref,
+         w2x_ref, w2a_ref, b2_ref,
+         w3_ref, b3_ref) = rest[:20]
+        rest = rest[20:]
         if with_state:
             # (h1_0, h2_0, x_0) inputs then (samples, snap_h1, snap_h2,
             # snap_x) outputs then scratch
@@ -273,7 +279,8 @@ def _make_kernel(voc: WaveRNNConfig, bits: int, chunk: int, n_mels: int,
                 + b2_ref[:], 0.0)
             logits = _dot(hf.astype(cdtype), w3_ref[:]) + b3_ref[:]  # (B, n_classes)
 
-            sample = _sample_step(logits, u_ref[i], mol=mol,
+            sample = _sample_step(logits,
+                                  None if use_prng else u_ref[i], mol=mol,
                                   use_prng=use_prng, n_classes=n_classes,
                                   nr_mix=nr_mix)
 
@@ -407,8 +414,9 @@ def _noise_stream(key, noise, T_pad: int, B: int, n_classes: int, mol: bool):
     k_seed, _, _ = jax.random.split(key, 3)
     if noise is None:
         # production: the kernel draws from the on-core PRNG (seeded below);
-        # stream a dummy so the block specs stay uniform
-        u = jnp.zeros((T_pad, B, 1), jnp.float32)
+        # no noise stream at all (a dummy would lane-pad its trailing dim
+        # 128x in VMEM)
+        u = None
     elif mol:
         u_mix, u_s = noise
         u_mix = jnp.pad(u_mix, ((0, T_pad - u_mix.shape[0]), (0, 0), (0, 0)),
@@ -440,7 +448,7 @@ def _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise, chunk,
     cond = jnp.swapaxes(cond, 0, 1)                           # (T_pad, B, ·)
 
     seed, u = _noise_stream(key, noise, T_pad, B, n_classes, mol)
-    NU = u.shape[-1]
+    noise_in = [] if u is None else [u]
 
     cd = compute_dtype
     gd = gates_dtype  # gate-path biases live in the gate dtype so the
@@ -477,8 +485,10 @@ def _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise, chunk,
     in_specs = [
         pl.BlockSpec((chunk, B, n_mels + 4 * A), lambda t, s: (t, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((chunk, B, NU), lambda t, s: (t, 0, 0),
-                     memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec((chunk, B, u.shape[-1]), lambda t, s: (t, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for u in noise_in
     ] + [const_spec(w.shape) for w in weights]
 
     scratch = [
@@ -506,7 +516,7 @@ def _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise, chunk,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(seed, cond, u, *weights)
+        )(seed, cond, *noise_in, *weights)
         return out[:, :T]
 
     # state-I/O variant: extra (h1_0, h2_0, x_0) inputs + snapshot outputs
@@ -547,7 +557,7 @@ def _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise, chunk,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(seed, cond, u, *weights, h1_0, h2_0, x_0_pad)
+    )(seed, cond, *noise_in, *weights, h1_0, h2_0, x_0_pad)
     return (out[:, :T], (s_h1, s_h2, s_x[:, 0]))
 
 
@@ -587,14 +597,15 @@ def _make_fused_kernel(voc: WaveRNNConfig, bits: int, hop: int, n_mels: int,
                phi_ref,    # SMEM (K, hop) polyphase taps
                *rest):
         fr = rest[:K]      # K x (1, B, n_mels + 4A) shifted frame rows
-        (u_ref,
-         w_Imel_ref, w_Ia1_ref, w_Ix_ref, b_I_ref,
+        rest = list(rest[K:])
+        u_ref = None if use_prng else rest.pop(0)  # replay noise only
+        (w_Imel_ref, w_Ia1_ref, w_Ix_ref, b_I_ref,
          wi1_ref, wh1_ref, bi1_ref, bh1_ref,
          wi2x_ref, wi2a_ref, wh2_ref, bi2_ref, bh2_ref,
          w1x_ref, w1a_ref, b1_ref,
          w2x_ref, w2a_ref, b2_ref,
          w3_ref, b3_ref,
-         out_ref, h1_ref, h2_ref, x_ref, acc_ref) = rest[K:]
+         out_ref, h1_ref, h2_ref, x_ref, acc_ref) = rest
 
         @pl.when(pl.program_id(0) == 0)
         def _():
@@ -646,7 +657,8 @@ def _make_fused_kernel(voc: WaveRNNConfig, bits: int, hop: int, n_mels: int,
             hf = jnp.maximum(mmd(hf, w2x_ref) + f2_a, 0.0)
             logits = _dot(hf.astype(cdtype), w3_ref[:]) + b3_ref[:]
 
-            sample = _sample_step(logits, u_ref[i], mol=mol,
+            sample = _sample_step(logits,
+                                  None if use_prng else u_ref[i], mol=mol,
                                   use_prng=use_prng, n_classes=n_classes,
                                   nr_mix=nr_mix)
 
@@ -697,7 +709,7 @@ def generate_pallas_fused(params, frames_folded, phi, voc: WaveRNNConfig,
     T = fold_chunks * hop
 
     seed, u = _noise_stream(key, noise, T, B, n_classes, mol)
-    NU = u.shape[-1]
+    noise_in = [] if u is None else [u]
 
     cd = compute_dtype
     gd = gates_dtype
@@ -736,8 +748,9 @@ def generate_pallas_fused(params, frames_folded, phi, voc: WaveRNNConfig,
                      memory_space=pltpu.VMEM)                 # frame taps
         for j in range(K)
     ] + [
-        pl.BlockSpec((hop, B, NU), lambda t, s: (t, 0, 0),
-                     memory_space=pltpu.VMEM),                # noise
+        pl.BlockSpec((hop, B, u.shape[-1]), lambda t, s: (t, 0, 0),
+                     memory_space=pltpu.VMEM)                 # replay noise
+        for u in noise_in
     ] + [const_spec(w.shape) for w in weights]
 
     # output is (fold_chunks, B, hop): Mosaic requires the last two block
@@ -766,5 +779,5 @@ def generate_pallas_fused(params, frames_folded, phi, voc: WaveRNNConfig,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(seed, phi, *([frames_folded] * K), u, *weights)
+    )(seed, phi, *([frames_folded] * K), *noise_in, *weights)
     return jnp.swapaxes(out, 0, 1).reshape(B, T)
