@@ -207,3 +207,30 @@ def test_generate_multi_fused_matches_materialized(rng):
     for mel, g, w in zip(mels_list, got, want):
         assert g.shape == w.shape == ((mel.shape[1] - 1) * DSP.hop_length,)
         np.testing.assert_allclose(g, w, atol=2e-3)
+
+
+def test_tts_to_wav_fast_cpu(rng):
+    """Device-resident serving path: bucket selection + trimming produce a
+    valid waveform whose length tracks the stop step."""
+    import dataclasses
+
+    from wavernn_tpu.config import Config
+    from wavernn_tpu.models import tacotron as taco
+    from wavernn_tpu.synthesis import tts_to_wav_fast
+
+    cfg = Config()
+    tts = dataclasses.replace(cfg.tts, embed_dims=16, encoder_dims=128,
+                              decoder_dims=256, postnet_dims=16, encoder_K=2,
+                              lstm_dims=32, postnet_K=2, num_highways=1)
+    cfg = dataclasses.replace(
+        cfg, tts=tts, voc=dataclasses.replace(
+            cfg.voc, rnn_dims=32, fc_dims=32, compute_dims=16,
+            res_out_dims=32, res_blocks=1))
+    tp = taco.init_tacotron(jax.random.PRNGKey(0), cfg.tts, cfg.dsp.num_mels)
+    vp = wr.init_wavernn(jax.random.PRNGKey(1), cfg.voc, cfg.dsp)
+    wav, mel = tts_to_wav_fast(tp, vp, "hello world", cfg, r=2, steps=64,
+                               mel_buckets=(16, 32, 64), use_pallas=False)
+    assert wav.ndim == 1 and wav.size > 0 and np.isfinite(wav).all()
+    assert mel.shape[0] == cfg.dsp.num_mels
+    # wav trimmed to the valid mel length
+    assert wav.shape[0] == (mel.shape[1] - 1) * cfg.dsp.hop_length

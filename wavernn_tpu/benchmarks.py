@@ -505,7 +505,8 @@ def tts_e2e_bench(text: str | None = None, steps: int = 1000) -> dict:
 
     def run(k_mel, k_voc):
         t0 = time.perf_counter()
-        mel, _, _ = taco.generate(tparams, ids, cfg.tts, r,
+        # vocoder conditions on the postnet output (quick_start.py:108-118)
+        _, mel, _ = taco.generate(tparams, ids, cfg.tts, r,
                                   cfg.dsp.num_mels, steps=steps, key=k_mel)
         t_mel = time.perf_counter() - t0
         # (mel+4)/8 rescale (quick_start.py:118); pad to the full `steps`
@@ -528,5 +529,26 @@ def tts_e2e_bench(text: str | None = None, steps: int = 1000) -> dict:
     _report("tts-e2e", True,
             f"mel {t_mel*1e3:.0f}ms + voc {t_voc*1e3:.0f}ms for "
             f"{audio_s:.1f}s audio ({rtf:.0f}x realtime)")
+
+    # device-resident serving path (synthesis.tts_to_wav_fast): one scalar
+    # sync between stages, vocoder runs at the smallest mel bucket — this
+    # is what a latency-sensitive server should call
+    from .synthesis import tts_to_wav_fast
+
+    def run_fast(k):
+        t0 = time.perf_counter()
+        wav_f, _ = tts_to_wav_fast(tparams, vparams, text, cfg, r,
+                                   key=k, steps=steps)
+        return time.perf_counter() - t0, wav_f
+
+    run_fast(jax.random.PRNGKey(4))  # compile (all stages + bucket)
+    t_fast, wav_f = run_fast(jax.random.PRNGKey(5))
+    audio_f = wav_f.shape[-1] / cfg.dsp.sample_rate
+    rtf_fast = audio_f / t_fast
+    _report("tts-e2e-fast", True,
+            f"{t_fast*1e3:.0f}ms for {audio_f:.1f}s audio "
+            f"({rtf_fast:.0f}x realtime, device-resident)")
     return {"tts_mel_s": round(t_mel, 3), "tts_voc_s": round(t_voc, 3),
-            "tts_audio_s": round(audio_s, 2), "tts_e2e_rtf": round(rtf, 1)}
+            "tts_audio_s": round(audio_s, 2), "tts_e2e_rtf": round(rtf, 1),
+            "tts_fast_s": round(t_fast, 3),
+            "tts_fast_rtf": round(rtf_fast, 1)}

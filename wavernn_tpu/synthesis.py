@@ -119,3 +119,51 @@ def tts_to_wav(tts_params, voc_params, text: str, cfg: Config, r: int,
     else:
         raise ValueError(vocoder)
     return wav, m, attention
+
+
+def tts_to_wav_fast(tts_params, voc_params, text: str, cfg: Config, r: int,
+                    key=None, steps: int = 2000,
+                    mel_buckets=(256, 512, 1024, 2048),
+                    use_pallas=None):
+    """Serving-latency text -> wav: no host round-trip between stages.
+
+    `tts_to_wav` mirrors the reference flow (gen_tacotron.py:142-173):
+    decode to numpy, rescale on host, re-upload to the vocoder — three
+    device<->host transfers of full padded tensors, which dominates
+    single-utterance latency (~200 ms through a remote tunnel vs ~35 ms of
+    device compute). This path instead:
+
+      * decodes on device (Pallas decode kernel on TPU, scan elsewhere),
+      * syncs ONE scalar (the stop step) to pick the smallest mel-length
+        bucket covering the utterance — so vocoder compute tracks utterance
+        length instead of the padded `steps` bound, with one cached
+        compilation per bucket,
+      * rescales [-4,4] -> [0,1] in jnp and feeds the vocoder kernel the
+        device-resident mel, exporting only the final trimmed waveform.
+
+    Returns (wav float32 numpy, mel numpy (n_mels, T_valid)).
+    """
+    import jax.numpy as jnp
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    k_mel, k_voc = jax.random.split(key)
+    pallas = _auto_pallas(use_pallas)
+    x = jnp.asarray(np.asarray(text_to_sequence(text.strip(),
+                                                cfg.tts.cleaner_names)))[None]
+    steps = -(-steps // r) * r
+    impl = taco._generate_kernel if pallas else taco._generate_scan
+    _, linear, _, n_valid = impl(tts_params, x, cfg.tts, r, steps,
+                                 cfg.dsp.num_mels, k_mel)
+
+    T_valid = min(int(n_valid[0]) * r, steps)        # one scalar sync
+    bucket = next((b for b in sorted(mel_buckets) if b >= T_valid), steps)
+    bucket = min(bucket, steps)
+    # postnet output is the vocoder conditioning (gen_tacotron.py:145);
+    # pad the tail of short utterances with the frozen silent frames the
+    # decoder produced anyway (bucket <= steps, so this is a static slice)
+    mel01 = jnp.clip((linear[:, :, :bucket] + 4.0) / 8.0, 0.0, 1.0)
+    wav = wr.generate_fast(voc_params, mel01, cfg.voc, cfg.dsp, k_voc,
+                           mu_law=cfg.dsp.mu_law, use_pallas=pallas)
+    wave_valid = max(T_valid - 1, 1) * cfg.dsp.hop_length
+    wav = np.asarray(wav)[:wave_valid]
+    return wav, np.asarray(mel01[0, :, :T_valid])
