@@ -28,7 +28,7 @@ def test_geometry_matches_defaults():
     geo = P.geometry((5, 5, 11), pad=2)
     assert geo.hop == 275
     assert geo.lead == 341 and geo.h_len == 957
-    assert geo.d_lo == -1 and geo.K == 6
+    assert geo.d_lo == 0 and geo.K == 5
     assert geo.indent == 550
 
 

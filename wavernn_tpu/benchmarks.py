@@ -177,13 +177,12 @@ def parity_checks(B: int = 8, T: int = 512) -> dict:
         params_f, Fo.fold_with_overlap(mu_f, target, overlap),
         Fo.fold_with_overlap(au_f, target, overlap), voc_f, dsp.bits,
         jax.random.PRNGKey(0), noise=noise_f, compute_dtype=jnp.float32))
-    phi = Po.phi_table(params_f["upsample"]["up_convs"],
-                       voc_f.upsample_factors, geo)
+    _, phi = wrm._fused_setup(params_f, voc_f)
     aux_fr, _ = wrm.melresnet_apply(params_f["upsample"]["resnet"], mels_fp,
                                     training=False)
-    frames_f = Po.build_folded_frames(
+    frames_f, _ = wrm._fused_fold_frames(
         jnp.swapaxes(mels_fp[0], 0, 1), jnp.swapaxes(aux_fr[0], 0, 1),
-        n_folds, stride_f, fold_chunks, geo.K, geo.d_lo)
+        total_len, target, overlap, geo)
     got_f = np.asarray(generate_pallas_fused(
         params_f, frames_f, phi, voc_f, dsp.bits, jax.random.PRNGKey(0),
         geo.hop, -geo.d_lo, fold_chunks, noise=noise_f,

@@ -40,22 +40,45 @@ def prefetch(iterable: Iterable, size: int = 2,
     already staged on device (unless ``device_put=False``).
     """
     q: queue.Queue = queue.Queue(maxsize=size)
+    stop = threading.Event()
+
+    def put(item):
+        # bounded put that gives up when the consumer is gone — train loops
+        # break out mid-epoch at session/step boundaries, and a plain
+        # q.put would leave this thread blocked forever holding
+        # device-staged batches (pinned HBM) for the life of the process
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for batch in iterable:
-                q.put(_stage(batch) if device_put else batch)
+                if not put(_stage(batch) if device_put else batch):
+                    return
         except BaseException as e:  # noqa: BLE001 — re-raised at consumer
-            q.put(e)
+            put(e)
             return
-        q.put(_DONE)
+        put(_DONE)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _DONE:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _DONE:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while t.is_alive():  # drain so the producer sees the stop flag
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                t.join(timeout=0.05)

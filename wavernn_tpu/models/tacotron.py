@@ -495,7 +495,8 @@ def generate(params, x_ids, tts: TacotronConfig, r: int, n_mels: int = 80,
     if key is None:
         key = jax.random.PRNGKey(0)
     if impl == "auto":
-        impl = "pallas" if jax.devices()[0].platform == "tpu" else "scan"
+        from ..utils.backend import use_pallas_default
+        impl = "pallas" if use_pallas_default() else "scan"
     x = jnp.asarray(x_ids)[None, :]
     steps = -(-steps // r) * r
     if impl == "pallas":

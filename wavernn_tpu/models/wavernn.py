@@ -210,6 +210,31 @@ def _fused_cond_ok(voc: WaveRNNConfig, dsp: DSPConfig, target: int,
     return 0 <= -geo.d_lo < geo.K  # aux frame-repeat tap must exist
 
 
+
+def _fused_setup(params, voc: WaveRNNConfig):
+    """(geometry, phi table) for the fused-conditioning kernel."""
+    from ..ops import polyphase as P
+    geo = P.geometry(voc.upsample_factors, voc.pad)
+    phi = P.phi_table(params["upsample"]["up_convs"], voc.upsample_factors,
+                      geo)
+    return geo, phi
+
+
+def _fused_fold_frames(mel_frames_T, aux_frames_T, total_len: int,
+                       target: int, overlap: int, geo):
+    """Folded frame-rate conditioning for one utterance.
+
+    mel_frames_T: (Tp, n_mels) PADDED mel frames; aux_frames_T: (T, 4A)
+    resnet output frames. Returns (frames (nf_loc, num_folds, C),
+    fold_chunks)."""
+    from ..ops import polyphase as P
+    num_folds, stride_f, fold_chunks, _ = P.fold_geometry(
+        total_len, target, overlap, geo.hop)
+    frames = P.build_folded_frames(mel_frames_T, aux_frames_T, num_folds,
+                                   stride_f, fold_chunks, geo.K, geo.d_lo)
+    return frames, fold_chunks
+
+
 def _generate_device(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
                      target: int, overlap: int, mu_law: bool,
                      use_pallas: bool, interpret: bool = False,
@@ -234,16 +259,12 @@ def _generate_device(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
 
     if use_pallas and _fused_cond_ok(voc, dsp, target, overlap):
         from ..ops.pallas_gen import generate_pallas_fused
-        geo = P.geometry(voc.upsample_factors, voc.pad)
-        phi = P.phi_table(params["upsample"]["up_convs"],
-                          voc.upsample_factors, geo)
+        geo, phi = _fused_setup(params, voc)
         aux_fr, _ = melresnet_apply(params["upsample"]["resnet"], mels,
                                     training=False)
-        num_folds, stride_f, fold_chunks, _ = P.fold_geometry(
-            total_len, target, overlap, geo.hop)
-        frames = P.build_folded_frames(
+        frames, fold_chunks = _fused_fold_frames(
             jnp.swapaxes(mels[0], 0, 1), jnp.swapaxes(aux_fr[0], 0, 1),
-            num_folds, stride_f, fold_chunks, geo.K, geo.d_lo)
+            total_len, target, overlap, geo)
         samples = generate_pallas_fused(params, frames, phi, voc, dsp.bits,
                                         key, geo.hop, -geo.d_lo, fold_chunks,
                                         noise=noise,
@@ -339,24 +360,19 @@ def generate_multi(params, mels_list, voc: WaveRNNConfig, dsp: DSPConfig,
     if use_pallas and _fused_cond_ok(voc, dsp, target, overlap):
         # fused kernel: per-utterance frame-rate folds concatenate on the
         # fold axis (fold_len is utterance-independent), one kernel launch
-        from ..ops import polyphase as P
         from ..ops.pallas_gen import generate_pallas_fused
 
-        geo = P.geometry(voc.upsample_factors, voc.pad)
-        phi = P.phi_table(params["upsample"]["up_convs"],
-                          voc.upsample_factors, geo)
+        geo, phi = _fused_setup(params, voc)
         aux_b, _ = melresnet_apply(params["upsample"]["resnet"], mels_b,
                                    training=False)
         frames_list, counts = [], []
-        fold_chunks = (target + 2 * overlap) // geo.hop
         for i, n_frames in enumerate(frames):
-            nf, stride_f, fold_chunks, _ = P.fold_geometry(
-                n_frames * dsp.hop_length, target, overlap, geo.hop)
-            frames_list.append(P.build_folded_frames(
+            fr, fold_chunks = _fused_fold_frames(
                 jnp.swapaxes(mels_b[i, :, :n_frames + 2 * voc.pad], 0, 1),
                 jnp.swapaxes(aux_b[i, :, :n_frames], 0, 1),
-                nf, stride_f, fold_chunks, geo.K, geo.d_lo))
-            counts.append(nf)
+                n_frames * dsp.hop_length, target, overlap, geo)
+            frames_list.append(fr)
+            counts.append(fr.shape[1])
         samples = generate_pallas_fused(
             params, jnp.concatenate(frames_list, axis=1), phi, voc,
             dsp.bits, key, geo.hop, -geo.d_lo, fold_chunks, noise=noise,
@@ -422,19 +438,14 @@ def generate(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
     if (batched and use_pallas and noise is None
             and _fused_cond_ok(voc, dsp, target, overlap)):
         # fused-conditioning kernel; the float64 host xfade below is shared
-        from ..ops import polyphase as P
         from ..ops.pallas_gen import generate_pallas_fused
 
-        geo = P.geometry(voc.upsample_factors, voc.pad)
-        phi = P.phi_table(params["upsample"]["up_convs"],
-                          voc.upsample_factors, geo)
+        geo, phi = _fused_setup(params, voc)
         aux_fr, _ = melresnet_apply(params["upsample"]["resnet"], mels,
                                     training=False)
-        num_folds, stride_f, fold_chunks, _ = P.fold_geometry(
-            total_len, target, overlap, geo.hop)
-        frames = P.build_folded_frames(
+        frames, fold_chunks = _fused_fold_frames(
             jnp.swapaxes(mels[0], 0, 1), jnp.swapaxes(aux_fr[0], 0, 1),
-            num_folds, stride_f, fold_chunks, geo.K, geo.d_lo)
+            total_len, target, overlap, geo)
         samples = generate_pallas_fused(params, frames, phi, voc, dsp.bits,
                                         key, geo.hop, -geo.d_lo, fold_chunks)
     else:

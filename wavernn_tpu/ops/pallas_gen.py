@@ -576,7 +576,7 @@ def _make_fused_kernel(voc: WaveRNNConfig, bits: int, hop: int, n_mels: int,
 
       * projects the K mel frames through the I-layer's mel columns ONCE,
         then per step combines them with the polyphase scalars phi[j, p]
-        (ops/polyphase.py) — 6 (B, R) FMAs replace the per-step
+        (ops/polyphase.py) — K=5 (B, R) FMAs replace the per-step
         (B, 112) @ (112, R) conditioning matmul;
       * hoists ALL aux-stream matmuls (a1 -> I, a2 -> rnn2, a3 -> fc1,
         a4 -> fc2) out of the inner loop — aux is a frame repeat

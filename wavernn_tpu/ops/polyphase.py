@@ -9,7 +9,7 @@ neighboring mel FRAMES:
 
     mels_up[s, c] = sum_j  phi[s % hop, j] * mel_padded[s // hop + d_lo + j, c]
 
-with ``phi`` an (hop, K) table of scalars shared by all channels (K = 6 at
+with ``phi`` an (hop, K) table of scalars shared by all channels (K = 5 at
 the defaults).  The aux stream is even simpler: a pure frame repeat
 (aux_up[s] = aux[s // hop], fatchord:85-87).
 
@@ -55,7 +55,11 @@ def geometry(upsample_factors: Sequence[int], pad: int) -> PolyGeometry:
         hop *= s
     lead, h_len = -start, length
     indent = pad * hop
-    d_lo = math.floor((indent + lead - (h_len - 1)) / hop)
+    # tight support: the lowest tap d needs SOME phase p with
+    # p + indent + lead - hop*d <= h_len-1 (easiest at p=0) -> ceil; floor
+    # would admit one extra tap whose phi row is identically zero (a dead
+    # (B, R) FMA per sample and an extra streamed frame row per chunk)
+    d_lo = math.ceil((indent + lead - (h_len - 1)) / hop)
     d_hi = (hop - 1 + indent + lead) // hop
     return PolyGeometry(hop, lead, h_len, d_lo, d_hi - d_lo + 1, indent)
 

@@ -62,12 +62,19 @@ class StreamingVocoder:
         self.key = key
         self.chunk_frames = chunk_frames
         self.mu_law = mu_law and voc.mode == "RAW"
-        if use_pallas is None:
-            use_pallas = jax.devices()[0].platform == "tpu"
+        from .utils.backend import use_pallas_default
         T_block = chunk_frames * dsp.hop_length
         # the pallas state snapshot needs one step of padding headroom
         # (snapshot records the state *entering* step T)
-        self._pallas = use_pallas and (T_block % 128 != 0)
+        snapshot_ok = T_block % 128 != 0
+        if use_pallas and not snapshot_ok:
+            raise ValueError(
+                f"chunk_frames={chunk_frames} gives a block of {T_block} "
+                f"samples, a multiple of the kernel chunk (128), which "
+                f"leaves no padding headroom for the state snapshot — "
+                f"pick a chunk_frames whose block is not a multiple of "
+                f"128, or pass use_pallas=None/False")
+        self._pallas = use_pallas_default(use_pallas) and snapshot_ok
         self._noise = noise
         self._noise_at = 0
         # mel buffer starts with the offline path's left padding

@@ -15,12 +15,7 @@ from .models import wavernn as wr
 from .text import text_to_sequence
 
 
-def _auto_pallas(use_pallas):
-    """None -> pick by backend: the persistent-weights kernel on TPU, the
-    portable scan elsewhere (the Pallas TPU kernel cannot run on CPU)."""
-    if use_pallas is None:
-        return jax.default_backend() == "tpu"
-    return use_pallas
+from .utils.backend import use_pallas_default as _auto_pallas
 
 
 def gen_testset(params, test_set, samples: int, batched: bool, target: int,
@@ -165,5 +160,10 @@ def tts_to_wav_fast(tts_params, voc_params, text: str, cfg: Config, r: int,
     wav = wr.generate_fast(voc_params, mel01, cfg.voc, cfg.dsp, k_voc,
                            mu_law=cfg.dsp.mu_law, use_pallas=pallas)
     wave_valid = max(T_valid - 1, 1) * cfg.dsp.hop_length
-    wav = np.asarray(wav)[:wave_valid]
+    wav = np.array(np.asarray(wav)[:wave_valid])
+    # the in-device fade landed at the BUCKET end (discarded padding for
+    # short utterances); fade the real tail like tts_to_wav / the
+    # reference (fatchord_version.py:255-258)
+    n_fade = min(20 * cfg.dsp.hop_length, wave_valid)
+    wav[-n_fade:] *= np.linspace(1.0, 0.0, n_fade, dtype=wav.dtype)
     return wav, np.asarray(mel01[0, :, :T_valid])
