@@ -90,23 +90,119 @@ def concat_folds(samples, target: int, overlap: int, wave_len: int):
     return jnp.concatenate([body, tail])[:wave_len]
 
 
+def _crossfade_prog(mesh, voc, bits: int, hop: int, d_lo: int, K: int,
+                    fold_chunks: int, use_pallas: bool, n_mels: int):
+    """Compiled shard_map program for crossfade-mode fold sharding (cached
+    per static config — rebuilding the jit wrapper per call would
+    recompile on every utterance)."""
+    import numpy as np
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def shard_fn(params, phi, frames_local, keys_local):
+        k = jax.random.fold_in(keys_local[0], jax.lax.axis_index("data"))
+        if use_pallas:
+            from ..ops.pallas_gen import generate_pallas_fused
+            return generate_pallas_fused(params, frames_local, phi, voc,
+                                         bits, k, hop, -d_lo, fold_chunks)
+        # scan twin (CPU meshes): reconstruct sample-rate conditioning per
+        # shard from the frame rows via the same polyphase table + repeat
+        from ..ops.sample_loop import generate_scan
+        mel_fr = jnp.swapaxes(frames_local[..., :n_mels], 0, 1)
+        aux_fr = jnp.swapaxes(frames_local[..., n_mels:], 0, 1)
+        L = fold_chunks * hop
+        s = np.arange(L)
+        mels_up = jnp.zeros((mel_fr.shape[0], L, n_mels), jnp.float32)
+        for j in range(K):
+            w = phi[j][jnp.asarray(s % hop)]
+            mels_up = mels_up + w[None, :, None] * mel_fr[:, jnp.asarray(
+                s // hop + j)]
+        aux_up = aux_fr[:, jnp.asarray(s // hop - d_lo)]
+        return generate_scan(params, mels_up, aux_up, voc, bits, k)
+
+    return jax.jit(shard_map(
+        shard_fn, mesh,
+        in_specs=(P(), P(), P(None, "data", None), P("data")),
+        out_specs=P("data"), check_rep=False))
+
+
+_CROSSFADE_CACHE: dict = {}
+
+
+def _crossfade_sharded(params, mels, voc, dsp, key, mesh, target, overlap,
+                       use_pallas):
+    """Crossfade-mode fold sharding with frame-rate conditioning.
+
+    Folds are embarrassingly parallel after their overlap warmup, so each
+    device runs the sample loop on ITS fold shard via shard_map — an
+    explicit SPMD region rather than GSPMD through the kernel boundary
+    (GSPMD cannot partition a pallas_call; it would replicate the loop).
+    Conditioning stays at mel rate (a few MB even for minutes of audio):
+    the tiny folded frame array is sharded on the fold axis, and each shard
+    runs the fused kernel (TPU) or the polyphase scan twin (CPU mesh).
+    Per-shard PRNG keys are folded with the shard index so fold noise stays
+    independent across devices.
+    """
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from ..models.wavernn import (_fused_fold_frames, _fused_setup,
+                                  melresnet_apply)
+
+    wave_len = (mels.shape[-1] - 1) * dsp.hop_length
+    total_len = mels.shape[-1] * dsp.hop_length
+    mels_p = jnp.pad(mels, ((0, 0), (0, 0), (voc.pad, voc.pad)))
+
+    geo, phi = _fused_setup(params, voc)
+    aux_fr, _ = melresnet_apply(params["upsample"]["resnet"], mels_p,
+                                training=False)
+    frames, fold_chunks = _fused_fold_frames(
+        jnp.swapaxes(mels_p[0], 0, 1), jnp.swapaxes(aux_fr[0], 0, 1),
+        total_len, target, overlap, geo)
+    num_folds = frames.shape[1]
+
+    if mesh is None:
+        mesh = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+    n = mesh.shape["data"]
+    pad_folds = (-num_folds) % n
+    if pad_folds:  # pad to a shardable fold count (extra folds discarded)
+        frames = jnp.pad(frames, ((0, 0), (0, pad_folds), (0, 0)))
+
+    cache_key = (mesh, voc, dsp.bits, geo.hop, geo.d_lo, geo.K, fold_chunks,
+                 use_pallas, dsp.num_mels)
+    prog = _CROSSFADE_CACHE.get(cache_key)
+    if prog is None:
+        prog = _CROSSFADE_CACHE.setdefault(cache_key, _crossfade_prog(
+            mesh, voc, dsp.bits, geo.hop, geo.d_lo, geo.K, fold_chunks,
+            use_pallas, dsp.num_mels))
+    keys = jnp.broadcast_to(key, (n,) + key.shape)
+    samples = prog(params, phi, frames, keys)[:num_folds]
+    wav = F.xfade_and_unfold_jax(samples, overlap)[:wave_len]
+    return np.asarray(wav)
+
+
 def generate_sharded(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
                      mesh=None, target: Optional[int] = None,
                      overlap: Optional[int] = None, seam_passes: int = 0,
                      use_pallas: bool = False):
     """End-to-end batched generation with folds laid out on the mesh's
-    ``data`` axis.  seam_passes=0 -> reference crossfade semantics;
-    seam_passes>0 -> exact-seam state handoff + hard concat.
+    ``data`` axis.  seam_passes=0 -> reference crossfade semantics (fused
+    frame-rate conditioning, explicit shard_map, zero mid-loop
+    communication); seam_passes>0 -> exact-seam state handoff + hard concat.
     """
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from ..models.wavernn import upsample_apply
+    from ..models.wavernn import _fused_cond_ok, upsample_apply
 
     target = voc.target if target is None else target
     overlap = voc.overlap if overlap is None else overlap
-
     mels = jnp.asarray(mels)
+
+    if seam_passes == 0 and _fused_cond_ok(voc, dsp, target, overlap):
+        return _crossfade_sharded(params, mels, voc, dsp, key, mesh, target,
+                                  overlap, use_pallas)
+
     wave_len = (mels.shape[-1] - 1) * dsp.hop_length
     mels = jnp.pad(mels, ((0, 0), (0, 0), (voc.pad, voc.pad)))
     mels_up, aux, _ = upsample_apply(params["upsample"], mels, voc,
