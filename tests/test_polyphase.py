@@ -234,3 +234,66 @@ def test_tts_to_wav_fast_cpu(rng):
     assert mel.shape[0] == cfg.dsp.num_mels
     # wav trimmed to the valid mel length
     assert wav.shape[0] == (mel.shape[1] - 1) * cfg.dsp.hop_length
+
+
+def test_fused_state_kernel_matches_materialized_state(rng):
+    """Fused state-I/O kernel vs the materialized state kernel: same
+    samples, same boundary snapshot, honors init_state (interpret mode,
+    shared injected noise)."""
+    from wavernn_tpu.ops.pallas_gen import (generate_pallas_fused_with_state,
+                                            generate_pallas_with_state)
+
+    voc = _cfg("MOL")
+    params = wr.init_wavernn(jax.random.PRNGKey(1), voc, DSP)
+    geo = P.geometry(voc.upsample_factors, voc.pad)
+    T_frames = 14
+    target, overlap = 4 * geo.hop, geo.hop
+    total_len = T_frames * geo.hop
+    mels = jnp.asarray(
+        rng.uniform(0, 1, (1, DSP.num_mels, T_frames)).astype(np.float32))
+    mels_p = jnp.pad(mels, ((0, 0), (0, 0), (voc.pad, voc.pad)))
+    num_folds, stride_f, fold_chunks, fold_len = P.fold_geometry(
+        total_len, target, overlap, geo.hop)
+    B = num_folds
+    nr_mix = voc.n_classes(DSP.bits) // 3
+    noise = (jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (fold_len, B, nr_mix))
+                         .astype(np.float32)),
+             jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (fold_len, B))
+                         .astype(np.float32)))
+    h1 = jnp.asarray(rng.randn(B, voc.rnn_dims).astype(np.float32)) * 0.1
+    h2 = jnp.asarray(rng.randn(B, voc.rnn_dims).astype(np.float32)) * 0.1
+    x0 = jnp.asarray(rng.uniform(-1, 1, (B,)).astype(np.float32))
+    snap_at = target + overlap
+
+    mels_up, aux, _ = wr.upsample_apply(params["upsample"], mels_p, voc,
+                                        training=False)
+    mf = F.fold_with_overlap(mels_up, target, overlap)
+    af = F.fold_with_overlap(aux, target, overlap)
+    want, want_snap = generate_pallas_with_state(
+        params, mf, af, voc, DSP.bits, jax.random.PRNGKey(0), noise=noise,
+        chunk=geo.hop, compute_dtype=jnp.float32, interpret=True,
+        init_state=(h1, h2, x0), state_snapshot_at=snap_at)
+
+    phi = P.phi_table(params["upsample"]["up_convs"], voc.upsample_factors,
+                      geo)
+    aux_fr, _ = wr.melresnet_apply(params["upsample"]["resnet"], mels_p,
+                                   training=False)
+    frames = P.build_folded_frames(
+        jnp.swapaxes(mels_p[0], 0, 1), jnp.swapaxes(aux_fr[0], 0, 1),
+        num_folds, stride_f, fold_chunks, geo.K, geo.d_lo)
+    got, got_snap = generate_pallas_fused_with_state(
+        params, frames, phi, voc, DSP.bits, jax.random.PRNGKey(0),
+        geo.hop, -geo.d_lo, fold_chunks, noise=noise,
+        compute_dtype=jnp.float32, interpret=True, init_state=(h1, h2, x0),
+        state_snapshot_at=snap_at)
+
+    for b in range(B):
+        valid = min(fold_len, max(0, total_len - b * (target + overlap)))
+        np.testing.assert_allclose(np.asarray(got)[b, :valid],
+                                   np.asarray(want)[b, :valid], atol=2e-4)
+    # boundary snapshot: the snapshot step (target+overlap) lies inside the
+    # valid region of every fold except the last, whose conditioning
+    # legitimately differs in the discarded tail
+    for a, b_ in zip(got_snap, want_snap):
+        np.testing.assert_allclose(np.asarray(a)[:-1], np.asarray(b_)[:-1],
+                                   atol=2e-4)

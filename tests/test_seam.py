@@ -132,3 +132,75 @@ def test_crossfade_sharded_fused_mesh(rng):
     assert np.isfinite(a).all() and np.abs(a).max() <= np.sqrt(2) + 1e-5
     np.testing.assert_allclose(a, b)  # key-deterministic on the mesh
     assert np.isfinite(c).all()
+
+
+def test_exact_seam_fused_matches_materialized(rng):
+    """Fused-conditioning exact seam vs the materialized exact seam, same
+    injected noise and pass count (interpret mode): identical refinement."""
+    from wavernn_tpu.ops import polyphase as P
+    from wavernn_tpu.ops.pallas_gen import generate_pallas_fused_with_state
+    from wavernn_tpu.parallel.gen_sharded import (concat_folds,
+                                                  generate_exact_seam)
+
+    params = wr.init_wavernn(jax.random.PRNGKey(0), VOC, DSP)
+    geo = P.geometry(VOC.upsample_factors, VOC.pad)
+    frames_n = 16
+    target, overlap = 4 * geo.hop, geo.hop
+    total = frames_n * geo.hop
+    mels = jnp.asarray(
+        rng.uniform(0, 1, (1, DSP.num_mels, frames_n)).astype(np.float32))
+    mels_p = jnp.pad(mels, ((0, 0), (0, 0), (VOC.pad, VOC.pad)))
+    num_folds, stride_f, fold_chunks, fold_len = P.fold_geometry(
+        total, target, overlap, geo.hop)
+    B = num_folds
+    nr_mix = VOC.n_classes(DSP.bits) // 3
+    noise = (jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (fold_len, B, nr_mix))
+                         .astype(np.float32)),
+             jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (fold_len, B))
+                         .astype(np.float32)))
+
+    mels_up, aux, _ = wr.upsample_apply(params["upsample"], mels_p, VOC,
+                                        training=False)
+    mf = F.fold_with_overlap(mels_up, target, overlap)
+    af = F.fold_with_overlap(aux, target, overlap)
+    want, _ = generate_exact_seam(params, mf, af, VOC, DSP.bits,
+                                  jax.random.PRNGKey(0), target, overlap,
+                                  seam_passes=2, noise=noise,
+                                  use_pallas=False)
+
+    # fused seam, pass loop mirrored here with interpret=True (the public
+    # generate_exact_seam_fused entry compiles the real kernel)
+    phi = P.phi_table(params["upsample"]["up_convs"], VOC.upsample_factors,
+                      geo)
+    aux_fr, _ = wr.melresnet_apply(params["upsample"]["resnet"], mels_p,
+                                   training=False)
+    frames = P.build_folded_frames(
+        jnp.swapaxes(mels_p[0], 0, 1), jnp.swapaxes(aux_fr[0], 0, 1),
+        num_folds, stride_f, fold_chunks, geo.K, geo.d_lo)
+    boundary = target + overlap
+
+    def one_pass(init_state):
+        return generate_pallas_fused_with_state(
+            params, frames, phi, VOC, DSP.bits, jax.random.PRNGKey(0),
+            geo.hop, -geo.d_lo, fold_chunks, noise=noise,
+            compute_dtype=jnp.float32, interpret=True,
+            init_state=init_state, state_snapshot_at=boundary)
+
+    def shift(state):
+        def roll(s):
+            rolled = jnp.roll(s, 1, axis=0)
+            return rolled.at[0].set(jnp.zeros_like(rolled[0]))
+        return jax.tree_util.tree_map(roll, state)
+
+    got, snap = one_pass(None)
+    for _ in range(2):
+        got, snap = one_pass(shift(snap))
+
+    # compare the concatenated (kept) output — every kept sample lies in
+    # the exact-matching region of its fold
+    wave_len = (frames_n - 1) * DSP.hop_length
+    out_w = np.asarray(concat_folds(jnp.asarray(want), target, overlap,
+                                    wave_len))
+    out_g = np.asarray(concat_folds(jnp.asarray(got), target, overlap,
+                                    wave_len))
+    np.testing.assert_allclose(out_g, out_w, atol=2e-3)

@@ -567,7 +567,8 @@ def _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise, chunk,
 
 def _make_fused_kernel(voc: WaveRNNConfig, bits: int, hop: int, n_mels: int,
                        K: int, aux_tap: int, mol: bool, use_prng: bool,
-                       gates_dtype=jnp.float32):
+                       gates_dtype=jnp.float32, with_state: bool = False,
+                       snapshot_at=None):
     """Sample-loop kernel that upsamples its own conditioning.
 
     Instead of streaming sample-rate (chunk, B, n_mels + 4A) blocks, each
@@ -604,14 +605,30 @@ def _make_fused_kernel(voc: WaveRNNConfig, bits: int, hop: int, n_mels: int,
          wi2x_ref, wi2a_ref, wh2_ref, bi2_ref, bh2_ref,
          w1x_ref, w1a_ref, b1_ref,
          w2x_ref, w2a_ref, b2_ref,
-         w3_ref, b3_ref,
-         out_ref, h1_ref, h2_ref, x_ref, acc_ref) = rest
+         w3_ref, b3_ref) = rest[:21]
+        rest = rest[21:]
+        if with_state:
+            # (h1_0, h2_0, x_0) inputs then (samples, snap_h1, snap_h2,
+            # snap_x) outputs then scratch — exact-seam fold handoff
+            (h1_0_ref, h2_0_ref, x_0_ref, out_ref, snap_h1_ref, snap_h2_ref,
+             snap_x_ref, h1_ref, h2_ref, x_ref, acc_ref) = rest
+        else:
+            out_ref, h1_ref, h2_ref, x_ref, acc_ref = rest
+        prog = pl.program_id(0)
 
-        @pl.when(pl.program_id(0) == 0)
+        @pl.when(prog == 0)
         def _():
-            h1_ref[:] = jnp.zeros_like(h1_ref)
-            h2_ref[:] = jnp.zeros_like(h2_ref)
-            x_ref[:] = jnp.zeros_like(x_ref)
+            if with_state:
+                h1_ref[:] = h1_0_ref[:].astype(h1_ref.dtype)
+                h2_ref[:] = h2_0_ref[:].astype(h2_ref.dtype)
+                x_ref[:] = x_0_ref[:]
+                snap_h1_ref[:] = jnp.zeros_like(snap_h1_ref)
+                snap_h2_ref[:] = jnp.zeros_like(snap_h2_ref)
+                snap_x_ref[:] = jnp.zeros_like(snap_x_ref)
+            else:
+                h1_ref[:] = jnp.zeros_like(h1_ref)
+                h2_ref[:] = jnp.zeros_like(h2_ref)
+                x_ref[:] = jnp.zeros_like(x_ref)
             if use_prng:
                 pltpu.prng_seed(seed_ref[0])
 
@@ -637,6 +654,13 @@ def _make_fused_kernel(voc: WaveRNNConfig, bits: int, hop: int, n_mels: int,
             x = x_ref[:, 0:1]                                 # (B, 1) f32
             h1 = h1_ref[:]
             h2 = h2_ref[:]
+            if with_state and snapshot_at is not None:
+                # record the state *entering* the global snapshot step
+                @pl.when(prog * hop + i == snapshot_at)
+                def _():
+                    snap_h1_ref[:] = h1_ref[:].astype(jnp.float32)
+                    snap_h2_ref[:] = h2_ref[:].astype(jnp.float32)
+                    snap_x_ref[:] = x_ref[:]
 
             inp = base_I + x * w_Ix_ref[:]
             for j in range(K):
@@ -698,6 +722,39 @@ def generate_pallas_fused(params, frames_folded, phi, voc: WaveRNNConfig,
     path still sees real edge frames — all such samples fall beyond
     wave_len and are discarded by xfade/trim).
     """
+    return _fused_impl(params, frames_folded, phi, voc, bits, key, hop,
+                       aux_tap, fold_chunks, noise, compute_dtype,
+                       gates_dtype, interpret, with_state=False,
+                       init_state=None, state_snapshot_at=None)
+
+
+@partial(jax.jit,
+         static_argnames=("voc", "bits", "hop", "aux_tap", "fold_chunks",
+                          "compute_dtype", "gates_dtype", "interpret",
+                          "state_snapshot_at"))
+def generate_pallas_fused_with_state(params, frames_folded, phi,
+                                     voc: WaveRNNConfig, bits: int, key,
+                                     hop: int, aux_tap: int, fold_chunks: int,
+                                     noise=None, compute_dtype=jnp.bfloat16,
+                                     gates_dtype=jnp.float32,
+                                     interpret: bool = False,
+                                     init_state=None,
+                                     state_snapshot_at: int = 0):
+    """Fused-conditioning sample loop with RNN-state I/O (exact-seam fold
+    handoff on frame-rate conditioning). Mirrors
+    generate_pallas_with_state's contract: returns (samples (B, T),
+    (snap_h1, snap_h2, snap_x)) with the snapshot taken entering global
+    step ``state_snapshot_at``; ``init_state`` = (h1, h2, x) resumes."""
+    return _fused_impl(params, frames_folded, phi, voc, bits, key, hop,
+                       aux_tap, fold_chunks, noise, compute_dtype,
+                       gates_dtype, interpret, with_state=True,
+                       init_state=init_state,
+                       state_snapshot_at=state_snapshot_at)
+
+
+def _fused_impl(params, frames_folded, phi, voc, bits, key, hop, aux_tap,
+                fold_chunks, noise, compute_dtype, gates_dtype, interpret,
+                with_state, init_state, state_snapshot_at):
     nf_loc, B, C = frames_folded.shape
     K, hop_ = phi.shape
     assert hop_ == hop and nf_loc == fold_chunks + K - 1
@@ -757,27 +814,71 @@ def generate_pallas_fused(params, frames_folded, phi, voc: WaveRNNConfig,
     # dims be (8, 128)-divisible OR equal to the array dims — hop (275) is
     # not lane-divisible, so chunks stack on a leading grid dim and the
     # (B, T) layout is restored by one cheap XLA transpose outside.
+    scratch = [
+        pltpu.VMEM((B, R), gd),               # h1
+        pltpu.VMEM((B, R), gd),               # h2
+        pltpu.VMEM((B, 128), jnp.float32),    # x
+        pltpu.VMEM((B, hop), jnp.float32),    # sample accumulator
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(fold_chunks,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, B, hop), lambda t, s: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((B, R), gd),               # h1
-            pltpu.VMEM((B, R), gd),               # h2
-            pltpu.VMEM((B, 128), jnp.float32),    # x
-            pltpu.VMEM((B, hop), jnp.float32),    # sample accumulator
-        ],
+        scratch_shapes=scratch,
+    )
+    if not with_state:
+        kernel = _make_fused_kernel(voc, bits, hop, n_mels, K, aux_tap, mol,
+                                    use_prng, gates_dtype=gd)
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((fold_chunks, B, hop),
+                                           jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(seed, phi, *([frames_folded] * K), *noise_in, *weights)
+        return jnp.swapaxes(out, 0, 1).reshape(B, T)
+
+    # state-I/O variant: extra (h1_0, h2_0, x_0) inputs + snapshot outputs
+    if init_state is None:
+        h1_0 = jnp.zeros((B, R), jnp.float32)
+        h2_0 = jnp.zeros((B, R), jnp.float32)
+        x_0 = jnp.zeros((B,), jnp.float32)
+    else:
+        h1_0, h2_0, x_0 = init_state
+    x_0_pad = jnp.zeros((B, 128), jnp.float32).at[:, 0].set(x_0)
+
+    state_specs = [const_spec((B, R)), const_spec((B, R)),
+                   const_spec((B, 128))]
+    grid_spec_state = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(fold_chunks,),
+        in_specs=in_specs + state_specs,
+        out_specs=(
+            pl.BlockSpec((1, B, hop), lambda t, s: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const_spec((B, R)), const_spec((B, R)), const_spec((B, 128)),
+        ),
+        scratch_shapes=scratch,
     )
     kernel = _make_fused_kernel(voc, bits, hop, n_mels, K, aux_tap, mol,
-                                use_prng, gates_dtype=gd)
-    out = pl.pallas_call(
+                                use_prng, gates_dtype=gd, with_state=True,
+                                snapshot_at=state_snapshot_at)
+    out, s_h1, s_h2, s_x = pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((fold_chunks, B, hop), jnp.float32),
+        grid_spec=grid_spec_state,
+        out_shape=(
+            jax.ShapeDtypeStruct((fold_chunks, B, hop), jnp.float32),
+            jax.ShapeDtypeStruct((B, R), jnp.float32),
+            jax.ShapeDtypeStruct((B, R), jnp.float32),
+            jax.ShapeDtypeStruct((B, 128), jnp.float32),
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(seed, phi, *([frames_folded] * K), *noise_in, *weights)
-    return jnp.swapaxes(out, 0, 1).reshape(B, T)
+    )(seed, phi, *([frames_folded] * K), *noise_in, *weights,
+      h1_0, h2_0, x_0_pad)
+    return (jnp.swapaxes(out, 0, 1).reshape(B, T), (s_h1, s_h2, s_x[:, 0]))

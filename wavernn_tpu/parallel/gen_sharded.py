@@ -79,6 +79,42 @@ def generate_exact_seam(params, mels_up, aux, voc: WaveRNNConfig, bits: int,
     return samples, jnp.stack(errs) if errs else jnp.zeros((0,))
 
 
+@partial(jax.jit, static_argnames=("voc", "bits", "hop", "aux_tap",
+                                   "fold_chunks", "target", "overlap",
+                                   "seam_passes"))
+def generate_exact_seam_fused(params, frames, phi, voc: WaveRNNConfig,
+                              bits: int, key, hop: int, aux_tap: int,
+                              fold_chunks: int, target: int, overlap: int,
+                              seam_passes: int = 2, noise=None):
+    """Exact-seam refinement on the fused-conditioning kernel: frame-rate
+    conditioning (ops/polyphase.py), state snapshot/handoff identical to
+    `generate_exact_seam`. With in-kernel PRNG (noise=None) every pass
+    reseeds from the same key, so fold noise replays identically across
+    refinement passes — the requirement for monotone seam convergence."""
+    from ..ops.pallas_gen import generate_pallas_fused_with_state
+
+    boundary = target + overlap
+
+    def one_pass(init_state):
+        return generate_pallas_fused_with_state(
+            params, frames, phi, voc, bits, key, hop, aux_tap, fold_chunks,
+            noise=noise, init_state=init_state, state_snapshot_at=boundary)
+
+    def shift(state):
+        def roll(s):
+            rolled = jnp.roll(s, 1, axis=0)
+            return rolled.at[0].set(jnp.zeros_like(rolled[0]))
+        return jax.tree_util.tree_map(roll, state)
+
+    samples, snap = one_pass(None)
+    errs = []
+    for _ in range(seam_passes):
+        new_samples, snap = one_pass(shift(snap))
+        errs.append(jnp.mean(jnp.abs(new_samples - samples)))
+        samples = new_samples
+    return samples, jnp.stack(errs) if errs else jnp.zeros((0,))
+
+
 def concat_folds(samples, target: int, overlap: int, wave_len: int):
     """Hard (no-crossfade) unfold for exact-seam output: fold i contributes
     its local [0, target+overlap) samples at global offset i*(target+overlap).
@@ -202,6 +238,28 @@ def generate_sharded(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
     if seam_passes == 0 and _fused_cond_ok(voc, dsp, target, overlap):
         return _crossfade_sharded(params, mels, voc, dsp, key, mesh, target,
                                   overlap, use_pallas)
+
+    if (seam_passes > 0 and mesh is None and use_pallas
+            and _fused_cond_ok(voc, dsp, target, overlap)):
+        # single-device exact seam on frame-rate conditioning (the mesh
+        # case keeps the materialized path: its roll-shift must lower to a
+        # collective, which needs GSPMD-visible state, not a pallas body)
+        from ..models.wavernn import (_fused_fold_frames, _fused_setup,
+                                      melresnet_apply)
+
+        wave_len = (mels.shape[-1] - 1) * dsp.hop_length
+        total_len = mels.shape[-1] * dsp.hop_length
+        mels_p = jnp.pad(mels, ((0, 0), (0, 0), (voc.pad, voc.pad)))
+        geo, phi = _fused_setup(params, voc)
+        aux_fr, _ = melresnet_apply(params["upsample"]["resnet"], mels_p,
+                                    training=False)
+        frames, fold_chunks = _fused_fold_frames(
+            jnp.swapaxes(mels_p[0], 0, 1), jnp.swapaxes(aux_fr[0], 0, 1),
+            total_len, target, overlap, geo)
+        samples, _ = generate_exact_seam_fused(
+            params, frames, phi, voc, dsp.bits, key, geo.hop, -geo.d_lo,
+            fold_chunks, target, overlap, seam_passes)
+        return np.asarray(concat_folds(samples, target, overlap, wave_len))
 
     wave_len = (mels.shape[-1] - 1) * dsp.hop_length
     mels = jnp.pad(mels, ((0, 0), (0, 0), (voc.pad, voc.pad)))
