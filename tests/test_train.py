@@ -152,3 +152,45 @@ def test_bf16_mixed_precision_training(rng):
     assert np.isfinite(losses).all()
     for leaf in jax.tree_util.tree_leaves(state.params):
         assert leaf.dtype == jnp.float32
+
+
+def test_tacotron_bf16_mixed_precision_training(rng):
+    """Tacotron precision="bfloat16": gradients point the same way as f32
+    ones, loss decreases, master params stay f32 (BatchNorm stats and the
+    attention normalization run f32 inside)."""
+    from wavernn_tpu.config import TacotronConfig
+    from wavernn_tpu.train import tacotron_train as tt
+
+    tts = TacotronConfig(embed_dims=16, encoder_dims=128, decoder_dims=256,
+                         postnet_dims=16, encoder_K=2, lstm_dims=32,
+                         postnet_K=2, num_highways=1)
+    r = 2
+    state = tt.create_train_state(jax.random.PRNGKey(0), tts, DSP.num_mels,
+                                  1e-3)
+    chars = jnp.asarray(rng.randint(1, 148, (4, 8)))
+    mel = jnp.asarray(rng.uniform(-4, 4, (4, DSP.num_mels, 6 * r))
+                      .astype(np.float32))
+    key = jax.random.PRNGKey(3)
+
+    g32, _ = jax.grad(tt.loss_tf, has_aux=True)(state.params, chars, mel,
+                                                tts, r, key)
+    g16, _ = jax.grad(tt.loss_tf, has_aux=True)(state.params, chars, mel,
+                                                tts, r, key, jnp.bfloat16)
+    flat32 = jnp.concatenate([v.ravel() for v in
+                              jax.tree_util.tree_leaves(g32)])
+    flat16 = jnp.concatenate([v.ravel() for v in
+                              jax.tree_util.tree_leaves(g16)])
+    assert flat16.dtype == jnp.float32  # master-grad dtype preserved
+    cos = jnp.vdot(flat32, flat16) / (
+        jnp.linalg.norm(flat32) * jnp.linalg.norm(flat16))
+    assert float(cos) > 0.97, float(cos)
+
+    losses = []
+    for _ in range(25):
+        state, metrics = tt.train_step_tf(state, chars, mel, tts, r, 1e-3,
+                                          key, precision="bfloat16")
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses[::8]
+    assert np.isfinite(losses).all()
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert leaf.dtype == jnp.float32

@@ -401,22 +401,31 @@ def taco_train_bench(steps: int = 20) -> dict:
                     .astype(np.float32))
     x_ids.block_until_ready()
 
-    st = state
     key = jax.random.PRNGKey(1)
-    t0 = time.time()
-    for _ in range(3):  # compile (+ donated-buffer variant) warmup, fenced
-        st, metrics = tt.train_step_tf(st, x_ids, m, cfg.tts, r, lr, key)
+
+    def measure(precision):
+        st = state
+        t0 = time.time()
+        for _ in range(3):  # compile (+ donated-buffer variant), fenced
+            st, metrics = tt.train_step_tf(st, x_ids, m, cfg.tts, r, lr, key,
+                                           precision=precision)
+            np.asarray(metrics["loss"])
+        print(f"taco train compile+warmup ({precision}): "
+              f"{time.time() - t0:.1f}s", file=sys.stderr)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            st, metrics = tt.train_step_tf(st, x_ids, m, cfg.tts, r, lr, key,
+                                           precision=precision)
         np.asarray(metrics["loss"])
-    print(f"taco train compile+warmup: {time.time() - t0:.1f}s",
-          file=sys.stderr)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        st, metrics = tt.train_step_tf(st, x_ids, m, cfg.tts, r, lr, key)
-    np.asarray(metrics["loss"])
-    sps = steps / (time.perf_counter() - t0)
+        return steps / (time.perf_counter() - t0)
+
+    sps = measure("float32")
+    sps16 = measure("bfloat16")
     _report("taco-train", True,
-            f"{sps:.2f} steps/s (r={r}, bs={bs}, {n_frames} frames)")
+            f"{sps:.2f} steps/s f32 / {sps16:.2f} bf16 "
+            f"(r={r}, bs={bs}, {n_frames} frames)")
     return {"taco_train_steps_per_s": round(sps, 2),
+            "taco_train_steps_per_s_bf16": round(sps16, 2),
             "taco_train_r": r, "taco_train_batch_size": bs,
             "taco_train_mel_frames": n_frames}
 

@@ -139,6 +139,9 @@ class TacotronTrainConfig:
     bin_lengths: bool = True
     clip_grad_norm: Optional[float] = 1.0
     checkpoint_every: int = 2_000
+    # "bfloat16" = mixed-precision core compute (f32 master weights /
+    # optimizer / BatchNorm stats / attention normalization)
+    precision: str = "float32"
     # fork extras (scripts/hparams_af_*.py)
     init_weights_path: Optional[str] = None
     attn_loss_coeff: float = 1.0
@@ -242,6 +245,7 @@ class Config:
             bin_lengths=g("tts_bin_lengths", True),
             clip_grad_norm=g("tts_clip_grad_norm", 1.0),
             checkpoint_every=g("tts_checkpoint_every", 2_000),
+            precision=g("tts_precision", "float32"),
             init_weights_path=g("tts_init_weights_path"),
             attn_loss_coeff=g("attn_loss_coeff", 1.0),
             attn_ref_path=g("attn_ref_path"),

@@ -202,8 +202,10 @@ def lsa_scores(p, encoder_seq_proj, query, cumulative, attention):
     loc = L.conv1d(p["conv"], loc, padding=15)                 # (B,32,T)
     loc = L.linear(p["L"], jnp.swapaxes(loc, 1, 2))            # (B,T,d)
     u = L.linear(p["v"], jnp.tanh(q + encoder_seq_proj + loc))[..., 0]
-    sig = jax.nn.sigmoid(u)
-    return sig / jnp.sum(sig, axis=1, keepdims=True)
+    # normalize in f32: the smooth-attention weights sum over T_text and a
+    # bf16 sum would cost ~2 decimal digits of attention mass
+    sig = jax.nn.sigmoid(u.astype(jnp.float32))
+    return (sig / jnp.sum(sig, axis=1, keepdims=True)).astype(u.dtype)
 
 
 class DecoderState(NamedTuple):
@@ -276,22 +278,43 @@ def decoder_step(p, encoder_seq, encoder_seq_proj, prenet_in,
 # full forward (all modes) + generate
 # --------------------------------------------------------------------------
 
+def _cast_params_except_bn(p, dtype):
+    """Cast a parameter pytree to ``dtype``, leaving BatchNorm dicts f32
+    (their statistics/normalization stay full precision, ops/layers.py)."""
+    if isinstance(p, dict):
+        return {k: (v if k.startswith("bn")
+                    else _cast_params_except_bn(v, dtype))
+                for k, v in p.items()}
+    if isinstance(p, (list, tuple)):
+        return type(p)(_cast_params_except_bn(v, dtype) for v in p)
+    return p.astype(dtype) if hasattr(p, "astype") else p
+
+
 @partial(jax.jit, static_argnames=("tts", "r", "mode", "training",
-                                   "generate_gta"))
+                                   "generate_gta", "compute_dtype"))
 def forward(params, x_ids, m, tts: TacotronConfig, r: int, key,
             mode: str = "teacher_forcing", training: bool = True,
             attn_ref: Optional[jnp.ndarray] = None,
-            generate_gta: bool = False):
+            generate_gta: bool = False, compute_dtype=None):
     """Full forward (tacotron.py:319-379).
 
     x_ids: (B, T_text); m: (B, n_mels, steps) target mels (steps % r == 0).
     attn_ref: (B, steps//r, T_text) for attention-forcing modes.
+    compute_dtype: optional narrow dtype (bf16) — mixed-precision training:
+    weights/activations cast on entry (BatchNorm and the attention
+    normalization stay f32), outputs cast back to f32; master params and
+    gradients remain f32.
     Returns (mel_out (B,n_mels,steps), linear (B,steps,n_mels... transposed
     to (B, fft_bins==n_mels, steps)), attn (B, steps//r, T_text),
     new_params).
     """
     if generate_gta:
         training = False
+    if compute_dtype is not None:
+        params = _cast_params_except_bn(params, compute_dtype)
+        m = m.astype(compute_dtype)
+        if attn_ref is not None:
+            attn_ref = attn_ref.astype(compute_dtype)
     B, n_mels, steps = m.shape
     n_groups = steps // r
 
@@ -356,6 +379,10 @@ def forward(params, x_ids, m, tts: TacotronConfig, r: int, key,
     new_params = dict(params)
     new_params["encoder"] = new_enc
     new_params["postnet"] = new_postnet
+    if compute_dtype is not None:  # losses/plots/GTA stay f32
+        mel_out = mel_out.astype(jnp.float32)
+        linear = linear.astype(jnp.float32)
+        attn = attn.astype(jnp.float32)
     return mel_out, linear, attn, new_params
 
 

@@ -112,7 +112,13 @@ def batchnorm_init(dim: int, dtype=jnp.float32):
 
 
 def batchnorm(p, x, training: bool, momentum: float = 0.1, eps: float = 1e-5):
-    """Returns (y, new_params). x: (N, C, W)."""
+    """Returns (y, new_params). x: (N, C, W).
+
+    Statistics and normalization always compute in f32 (mixed-precision
+    training feeds bf16 activations; running stats must not degrade), the
+    output returns in x's dtype."""
+    in_dtype = x.dtype
+    x = x.astype(jnp.float32)
     if training:
         axes = (0, 2)
         mean = jnp.mean(x, axes)
@@ -128,7 +134,7 @@ def batchnorm(p, x, training: bool, momentum: float = 0.1, eps: float = 1e-5):
     inv = jax.lax.rsqrt(var + eps)
     y = (x - mean[None, :, None]) * inv[None, :, None]
     y = y * p["scale"][None, :, None] + p["bias"][None, :, None]
-    return y, new_p
+    return y.astype(in_dtype), new_p
 
 
 # --------------------------------------------------------------------------
