@@ -36,6 +36,10 @@ def main(argv=None):
                       help="force the persistent-weights TPU kernel "
                            "(default: auto — kernel on TPU, scan on CPU)")
     wr_p.add_argument("--no_pallas", dest="pallas", action="store_false")
+    wr_p.add_argument("--fast", action="store_true",
+                      help="device-resident serving path (one scalar sync, "
+                           "length-bucketed vocoder) instead of the "
+                           "reference host-roundtrip flow")
 
     gl_p = subs.add_parser("griffinlim")
     gl_p.add_argument("--iters", type=int, default=32)
@@ -77,12 +81,20 @@ def main(argv=None):
 
     for i, text in enumerate(inputs, 1):
         print(f"| Generating {i}/{len(inputs)}")
-        wav, m, attention = tts_to_wav(
-            tts_params, voc_params, text, cfg, r,
-            key=jax.random.PRNGKey(i), batched=batched,
-            vocoder=args.vocoder,
-            gl_iters=getattr(args, "iters", 32),
-            use_pallas=getattr(args, "pallas", None))
+        if getattr(args, "fast", False) and args.vocoder == "wavernn":
+            from ..synthesis import tts_to_wav_fast
+            wav, m = tts_to_wav_fast(
+                tts_params, voc_params, text, cfg, r,
+                key=jax.random.PRNGKey(i),
+                use_pallas=getattr(args, "pallas", None))
+            attention = None
+        else:
+            wav, m, attention = tts_to_wav(
+                tts_params, voc_params, text, cfg, r,
+                key=jax.random.PRNGKey(i), batched=batched,
+                vocoder=args.vocoder,
+                gl_iters=getattr(args, "iters", 32),
+                use_pallas=getattr(args, "pallas", None))
 
         if args.vocoder == "griffinlim":
             v_type = "griffinlim"
@@ -99,7 +111,7 @@ def main(argv=None):
         if args.use_standard_names and cfg.test_sentences_names:
             save_path = ws.tts_output / f"{cfg.test_sentences_names[i - 1]}.wav"
 
-        if args.save_attention:
+        if args.save_attention and attention is not None:
             save_attention(attention, save_path)
         save_wav(wav, save_path, cfg.dsp.sample_rate)
     print("Done.")
