@@ -128,6 +128,19 @@ def test_gen_tacotron_wavernn_cli(project):
     assert len(outs) >= 1
 
 
+def test_gen_tacotron_wavernn_fast_cli(project):
+    """--fast takes the device-resident serving path (synthesis.
+    tts_to_wav_fast): scan decode on CPU, one scalar sync, bucketed
+    vocoder; output is tagged wavernn_fast."""
+    root, hp = project
+    from wavernn_tpu.cli.gen_tacotron import main
+    main(["--hp_file", hp, "--input_text", "Quick check.", "wavernn",
+          "--fast"])
+    outs = list((root / "model_outputs" / "test_tts.tacotron").glob(
+        "*wavernn_fast*.wav"))
+    assert len(outs) >= 1
+
+
 def test_af_offline_pipeline_cli(project):
     """The fork's AF-offline flow: export attn refs with the TF model, then
     train in attention_forcing_offline mode from them."""

@@ -51,3 +51,16 @@ def test_load_fork_experiment_hparams(name, mode):
         assert cfg.tts_train.model_tf_path
     if mode == "attention_forcing_offline":
         assert cfg.tts_train.attn_ref_path
+
+
+def test_precision_typos_rejected():
+    """precision is validated at construction so "bf16"/"bfloat" typos can't
+    silently train at f32 (train steps only special-case "bfloat16")."""
+    from wavernn_tpu.config import TacotronTrainConfig, WaveRNNTrainConfig
+    assert WaveRNNTrainConfig(precision="bfloat16").precision == "bfloat16"
+    assert TacotronTrainConfig(precision="float32").precision == "float32"
+    for bad in ("bf16", "bfloat", "fp32", "float16"):
+        with pytest.raises(ValueError):
+            WaveRNNTrainConfig(precision=bad)
+        with pytest.raises(ValueError):
+            TacotronTrainConfig(precision=bad)

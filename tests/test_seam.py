@@ -4,6 +4,7 @@ crossfade)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from wavernn_tpu.config import DSPConfig, WaveRNNConfig
 from wavernn_tpu.models import wavernn as wr
@@ -135,12 +136,13 @@ def test_crossfade_sharded_fused_mesh(rng):
 
 
 def test_exact_seam_fused_matches_materialized(rng):
-    """Fused-conditioning exact seam vs the materialized exact seam, same
-    injected noise and pass count (interpret mode): identical refinement."""
+    """Fused-conditioning exact seam (public generate_exact_seam_fused entry,
+    interpret mode) vs the materialized exact seam, same injected noise and
+    pass count: identical refinement."""
     from wavernn_tpu.ops import polyphase as P
-    from wavernn_tpu.ops.pallas_gen import generate_pallas_fused_with_state
     from wavernn_tpu.parallel.gen_sharded import (concat_folds,
-                                                  generate_exact_seam)
+                                                  generate_exact_seam,
+                                                  generate_exact_seam_fused)
 
     params = wr.init_wavernn(jax.random.PRNGKey(0), VOC, DSP)
     geo = P.geometry(VOC.upsample_factors, VOC.pad)
@@ -168,8 +170,6 @@ def test_exact_seam_fused_matches_materialized(rng):
                                   seam_passes=2, noise=noise,
                                   use_pallas=False)
 
-    # fused seam, pass loop mirrored here with interpret=True (the public
-    # generate_exact_seam_fused entry compiles the real kernel)
     phi = P.phi_table(params["upsample"]["up_convs"], VOC.upsample_factors,
                       geo)
     aux_fr, _ = wr.melresnet_apply(params["upsample"]["resnet"], mels_p,
@@ -177,24 +177,11 @@ def test_exact_seam_fused_matches_materialized(rng):
     frames = P.build_folded_frames(
         jnp.swapaxes(mels_p[0], 0, 1), jnp.swapaxes(aux_fr[0], 0, 1),
         num_folds, stride_f, fold_chunks, geo.K, geo.d_lo)
-    boundary = target + overlap
 
-    def one_pass(init_state):
-        return generate_pallas_fused_with_state(
-            params, frames, phi, VOC, DSP.bits, jax.random.PRNGKey(0),
-            geo.hop, -geo.d_lo, fold_chunks, noise=noise,
-            compute_dtype=jnp.float32, interpret=True,
-            init_state=init_state, state_snapshot_at=boundary)
-
-    def shift(state):
-        def roll(s):
-            rolled = jnp.roll(s, 1, axis=0)
-            return rolled.at[0].set(jnp.zeros_like(rolled[0]))
-        return jax.tree_util.tree_map(roll, state)
-
-    got, snap = one_pass(None)
-    for _ in range(2):
-        got, snap = one_pass(shift(snap))
+    got, errs = generate_exact_seam_fused(
+        params, frames, phi, VOC, DSP.bits, jax.random.PRNGKey(0),
+        geo.hop, -geo.d_lo, fold_chunks, target, overlap, seam_passes=2,
+        noise=noise, compute_dtype=jnp.float32, interpret=True)
 
     # compare the concatenated (kept) output — every kept sample lies in
     # the exact-matching region of its fold
@@ -204,3 +191,26 @@ def test_exact_seam_fused_matches_materialized(rng):
     out_g = np.asarray(concat_folds(jnp.asarray(got), target, overlap,
                                     wave_len))
     np.testing.assert_allclose(out_g, out_w, atol=2e-3)
+    errs = np.asarray(errs)
+    assert errs.shape == (2,) and errs[-1] <= errs[0] + 1e-6
+
+
+@pytest.mark.tpu
+def test_generate_sharded_fused_seam_single_device(rng):
+    """generate_sharded's single-device fused exact-seam branch (mesh=None,
+    use_pallas=True, seam_passes>0) — on-core PRNG, so hardware tier only —
+    against the materialized seam path (shape/finiteness; noise sources
+    differ by design)."""
+    from wavernn_tpu.parallel.gen_sharded import generate_sharded
+    params = wr.init_wavernn(jax.random.PRNGKey(0), VOC, DSP)
+    frames = 40
+    mels = rng.uniform(0, 1, (1, DSP.num_mels, frames)).astype(np.float32)
+    fused = generate_sharded(params, mels, VOC, DSP, jax.random.PRNGKey(0),
+                             mesh=None, target=1100, overlap=275,
+                             seam_passes=2, use_pallas=True)
+    ref = generate_sharded(params, mels, VOC, DSP, jax.random.PRNGKey(0),
+                           mesh=None, target=1100, overlap=275,
+                           seam_passes=2, use_pallas=False)
+    assert fused.shape == ref.shape == ((frames - 1) * DSP.hop_length,)
+    assert np.isfinite(fused).all()
+    assert np.isfinite(ref).all()

@@ -183,3 +183,36 @@ def test_generate_chunked_early_exit_matches_full_scan(rng):
     *_, n_valid = taco._generate_scan(params, x, tts_stop, r, steps, N_MELS,
                                       key, chunk_groups=4)
     assert int(np.asarray(n_valid).max()) * r < steps
+
+
+def test_cumulative_attention_stays_f32_under_bf16():
+    """The location-sensitive attention accumulator is summed over every
+    decoder group; in bf16 its ulp exceeds a per-step attention weight past
+    ~256 so the location feature would freeze on long utterances. The carry
+    must stay f32 even when the decoder computes in bf16."""
+    state = taco.init_decoder_state(2, 11, SMALL, N_MELS, jnp.bfloat16)
+    assert state.cumulative.dtype == jnp.float32
+    assert state.attention.dtype == jnp.bfloat16
+
+    # an f32 accumulator still moves when fed tiny bf16 increments on top of
+    # a large running total (the bf16 accumulator would be stuck)
+    big = jnp.float32(512.0)
+    inc = jnp.bfloat16(0.25)
+    assert big + inc.astype(jnp.float32) > big
+    assert jnp.bfloat16(512.0) + inc == jnp.bfloat16(512.0)  # why f32 matters
+
+
+def test_forward_bf16_cumulative_not_frozen(rng):
+    """bf16 forward over enough groups that a bf16 accumulator would start
+    dropping increments; the attention rows must remain normalized and the
+    output finite."""
+    tts = SMALL
+    params = taco.init_tacotron(jax.random.PRNGKey(0), tts, N_MELS, 148)
+    B, T_text, r, steps = 1, 7, 5, 40
+    x = jnp.asarray(rng.randint(1, 148, (B, T_text)))
+    m = jnp.asarray(rng.uniform(-4, 4, (B, N_MELS, steps)).astype(np.float32))
+    mel, linear, attn, _ = taco.forward(params, x, m, tts, r,
+                                        jax.random.PRNGKey(1),
+                                        compute_dtype=jnp.bfloat16)
+    assert mel.dtype == jnp.float32 and np.isfinite(np.asarray(mel)).all()
+    np.testing.assert_allclose(np.asarray(attn.sum(-1)), 1.0, atol=2e-2)

@@ -72,6 +72,14 @@ def main(argv=None):
                       ("Vocoder Type", "Griffin-Lim"),
                       ("GL Iters", args.iters)])
 
+    fast = getattr(args, "fast", False) and args.vocoder == "wavernn"
+    if fast and args.save_attention:
+        print("| WARNING: --save_attention is not available with --fast "
+              "(the device-resident path never materializes attention maps); "
+              "rerun without --fast to dump attention plots")
+    if fast and args.batched is False:
+        print("| WARNING: --fast is always fold-batched; ignoring --unbatched")
+
     if args.input_text:
         inputs = [args.input_text.strip()]
     else:
@@ -81,7 +89,7 @@ def main(argv=None):
 
     for i, text in enumerate(inputs, 1):
         print(f"| Generating {i}/{len(inputs)}")
-        if getattr(args, "fast", False) and args.vocoder == "wavernn":
+        if fast:
             from ..synthesis import tts_to_wav_fast
             wav, m = tts_to_wav_fast(
                 tts_params, voc_params, text, cfg, r,
@@ -98,6 +106,8 @@ def main(argv=None):
 
         if args.vocoder == "griffinlim":
             v_type = "griffinlim"
+        elif fast:
+            v_type = "wavernn_fast"
         elif batched:
             v_type = "wavernn_batched"
         else:

@@ -34,6 +34,17 @@ def _import_py_file(path: Union[str, Path]):
     return mod
 
 
+_PRECISIONS = ("float32", "bfloat16")
+
+
+def _check_precision(value: str) -> None:
+    # train steps map anything != "bfloat16" to full precision; reject typos
+    # ("bf16", "bfloat") here so they can't silently train at f32
+    if value not in _PRECISIONS:
+        raise ValueError(
+            f"precision must be one of {_PRECISIONS}, got {value!r}")
+
+
 @dataclass(frozen=True)
 class DSPConfig:
     """Audio analysis settings (reference hparams.py:20-32)."""
@@ -102,6 +113,9 @@ class WaveRNNTrainConfig:
     # optimizer / BatchNorm stats); TPU-native extension, not in reference
     precision: str = "float32"
 
+    def __post_init__(self):
+        _check_precision(self.precision)
+
 
 @dataclass(frozen=True)
 class TacotronConfig:
@@ -147,6 +161,9 @@ class TacotronTrainConfig:
     attn_loss_coeff: float = 1.0
     attn_ref_path: Optional[str] = None
     model_tf_path: Optional[str] = None
+
+    def __post_init__(self):
+        _check_precision(self.precision)
 
 
 @dataclass(frozen=True)

@@ -198,7 +198,9 @@ def lsa_scores(p, encoder_seq_proj, query, cumulative, attention):
 
     Returns scores (B, T_text)."""
     q = L.linear(p["W"], query)[:, None, :]                    # (B,1,d)
-    loc = jnp.stack([cumulative, attention], axis=1)           # (B,2,T)
+    # the accumulator is carried f32 (see init_decoder_state); the location
+    # conv itself may run narrow
+    loc = jnp.stack([cumulative.astype(attention.dtype), attention], axis=1)
     loc = L.conv1d(p["conv"], loc, padding=15)                 # (B,32,T)
     loc = L.linear(p["L"], jnp.swapaxes(loc, 1, 2))            # (B,T,d)
     u = L.linear(p["v"], jnp.tanh(q + encoder_seq_proj + loc))[..., 0]
@@ -224,8 +226,12 @@ def init_decoder_state(batch: int, T_text: int, tts: TacotronConfig,
                        n_mels: int, dtype=jnp.float32) -> DecoderState:
     d, l = tts.decoder_dims, tts.lstm_dims
     z = lambda *s: jnp.zeros(s, dtype)
+    # cumulative attention is summed over every decoder group; past ~256 the
+    # bf16 ulp exceeds a per-step attention weight and the location feature
+    # would freeze on long utterances — keep the accumulator f32 always
     return DecoderState(z(batch, d), z(batch, l), z(batch, l), z(batch, l),
-                        z(batch, l), z(batch, d), z(batch, T_text),
+                        z(batch, l), z(batch, d),
+                        jnp.zeros((batch, T_text), jnp.float32),
                         z(batch, T_text), z(batch, n_mels))
 
 
@@ -245,7 +251,7 @@ def decoder_step(p, encoder_seq, encoder_seq_proj, prenet_in,
     scores = lsa_scores(p["attn"], encoder_seq_proj, attn_hidden,
                         state.cumulative, state.attention)
     attention = scores
-    cumulative = state.cumulative + attention
+    cumulative = state.cumulative + attention.astype(jnp.float32)
 
     ctx_weights = scores if attn_ref is None else attn_ref
     context = jnp.einsum("bt,btc->bc", ctx_weights, encoder_seq)

@@ -30,12 +30,33 @@ from ..ops import fold as F
 from ..ops.sample_loop import generate_scan_with_state
 
 
+def _seam_shift(state):
+    """Fold i receives fold i-1's boundary state; fold 0 keeps zeros.  The
+    roll lowers to a collective permute when folds are sharded."""
+    def roll(s):
+        rolled = jnp.roll(s, 1, axis=0)
+        return rolled.at[0].set(jnp.zeros_like(rolled[0]))
+    return jax.tree_util.tree_map(roll, state)
+
+
+def _seam_refine(one_pass, seam_passes: int):
+    """Initial pass + ``seam_passes`` state-handoff refinements.  Returns
+    (samples, per-pass mean-abs sample change)."""
+    samples, snap = one_pass(None)
+    errs = []
+    for _ in range(seam_passes):
+        new_samples, snap = one_pass(_seam_shift(snap))
+        errs.append(jnp.mean(jnp.abs(new_samples - samples)))
+        samples = new_samples
+    return samples, jnp.stack(errs) if errs else jnp.zeros((0,))
+
+
 @partial(jax.jit, static_argnames=("voc", "bits", "target", "overlap",
-                                   "seam_passes", "use_pallas"))
+                                   "seam_passes", "use_pallas", "interpret"))
 def generate_exact_seam(params, mels_up, aux, voc: WaveRNNConfig, bits: int,
                         key, target: int, overlap: int,
                         seam_passes: int = 2, noise=None,
-                        use_pallas: bool = False):
+                        use_pallas: bool = False, interpret: bool = False):
     """Folded generation with state handoff. mels_up/aux: folded (B, L, ·)
     with L = target + 2*overlap.  Returns (samples (B, L), per-pass seam
     error) — concatenate with `concat_folds`.
@@ -56,36 +77,25 @@ def generate_exact_seam(params, mels_up, aux, voc: WaveRNNConfig, bits: int,
             from ..ops.pallas_gen import generate_pallas_with_state
             return generate_pallas_with_state(
                 params, mels_up, aux, voc, bits, key, noise=noise,
-                init_state=init_state, state_snapshot_at=boundary)
-        samples, snap = generate_scan_with_state(
+                interpret=interpret, init_state=init_state,
+                state_snapshot_at=boundary)
+        return generate_scan_with_state(
             params, mels_up, aux, voc, bits, key, noise=noise,
             init_state=init_state, state_snapshot_at=boundary)
-        return samples, snap
 
-    def shift(state):
-        # fold i receives fold i-1's boundary state; fold 0 keeps zeros.
-        def roll(s):
-            rolled = jnp.roll(s, 1, axis=0)
-            return rolled.at[0].set(jnp.zeros_like(rolled[0]))
-        return jax.tree_util.tree_map(roll, state)
-
-    samples, snap = one_pass(None)
-    errs = []
-    for _ in range(seam_passes):
-        init = shift(snap)
-        new_samples, snap = one_pass(init)
-        errs.append(jnp.mean(jnp.abs(new_samples - samples)))
-        samples = new_samples
-    return samples, jnp.stack(errs) if errs else jnp.zeros((0,))
+    return _seam_refine(one_pass, seam_passes)
 
 
 @partial(jax.jit, static_argnames=("voc", "bits", "hop", "aux_tap",
                                    "fold_chunks", "target", "overlap",
-                                   "seam_passes"))
+                                   "seam_passes", "compute_dtype",
+                                   "interpret"))
 def generate_exact_seam_fused(params, frames, phi, voc: WaveRNNConfig,
                               bits: int, key, hop: int, aux_tap: int,
                               fold_chunks: int, target: int, overlap: int,
-                              seam_passes: int = 2, noise=None):
+                              seam_passes: int = 2, noise=None,
+                              compute_dtype=jnp.bfloat16,
+                              interpret: bool = False):
     """Exact-seam refinement on the fused-conditioning kernel: frame-rate
     conditioning (ops/polyphase.py), state snapshot/handoff identical to
     `generate_exact_seam`. With in-kernel PRNG (noise=None) every pass
@@ -98,21 +108,10 @@ def generate_exact_seam_fused(params, frames, phi, voc: WaveRNNConfig,
     def one_pass(init_state):
         return generate_pallas_fused_with_state(
             params, frames, phi, voc, bits, key, hop, aux_tap, fold_chunks,
-            noise=noise, init_state=init_state, state_snapshot_at=boundary)
+            noise=noise, compute_dtype=compute_dtype, interpret=interpret,
+            init_state=init_state, state_snapshot_at=boundary)
 
-    def shift(state):
-        def roll(s):
-            rolled = jnp.roll(s, 1, axis=0)
-            return rolled.at[0].set(jnp.zeros_like(rolled[0]))
-        return jax.tree_util.tree_map(roll, state)
-
-    samples, snap = one_pass(None)
-    errs = []
-    for _ in range(seam_passes):
-        new_samples, snap = one_pass(shift(snap))
-        errs.append(jnp.mean(jnp.abs(new_samples - samples)))
-        samples = new_samples
-    return samples, jnp.stack(errs) if errs else jnp.zeros((0,))
+    return _seam_refine(one_pass, seam_passes)
 
 
 def concat_folds(samples, target: int, overlap: int, wave_len: int):
@@ -126,13 +125,33 @@ def concat_folds(samples, target: int, overlap: int, wave_len: int):
     return jnp.concatenate([body, tail])[:wave_len]
 
 
+def _fused_frame_prep(params, mels, voc, dsp, target, overlap):
+    """Frame-rate conditioning prep shared by the sharded-crossfade and
+    fused exact-seam paths: pad the mel, run MelResNet at mel rate, fold
+    the frame rows (ops/polyphase.py).  Returns
+    (frames, fold_chunks, geo, phi, wave_len)."""
+    from ..models.wavernn import (_fused_fold_frames, _fused_setup,
+                                  melresnet_apply)
+
+    wave_len = (mels.shape[-1] - 1) * dsp.hop_length
+    total_len = mels.shape[-1] * dsp.hop_length
+    mels_p = jnp.pad(mels, ((0, 0), (0, 0), (voc.pad, voc.pad)))
+    geo, phi = _fused_setup(params, voc)
+    aux_fr, _ = melresnet_apply(params["upsample"]["resnet"], mels_p,
+                                training=False)
+    frames, fold_chunks = _fused_fold_frames(
+        jnp.swapaxes(mels_p[0], 0, 1), jnp.swapaxes(aux_fr[0], 0, 1),
+        total_len, target, overlap, geo)
+    return frames, fold_chunks, geo, phi, wave_len
+
+
 def _crossfade_prog(mesh, voc, bits: int, hop: int, d_lo: int, K: int,
-                    fold_chunks: int, use_pallas: bool, n_mels: int):
+                    fold_chunks: int, use_pallas: bool, n_mels: int,
+                    interpret: bool = False):
     """Compiled shard_map program for crossfade-mode fold sharding (cached
     per static config — rebuilding the jit wrapper per call would
     recompile on every utterance)."""
     import numpy as np
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     def shard_fn(params, phi, frames_local, keys_local):
@@ -140,7 +159,8 @@ def _crossfade_prog(mesh, voc, bits: int, hop: int, d_lo: int, K: int,
         if use_pallas:
             from ..ops.pallas_gen import generate_pallas_fused
             return generate_pallas_fused(params, frames_local, phi, voc,
-                                         bits, k, hop, -d_lo, fold_chunks)
+                                         bits, k, hop, -d_lo, fold_chunks,
+                                         interpret=interpret)
         # scan twin (CPU meshes): reconstruct sample-rate conditioning per
         # shard from the frame rows via the same polyphase table + repeat
         from ..ops.sample_loop import generate_scan
@@ -156,17 +176,17 @@ def _crossfade_prog(mesh, voc, bits: int, hop: int, d_lo: int, K: int,
         aux_up = aux_fr[:, jnp.asarray(s // hop - d_lo)]
         return generate_scan(params, mels_up, aux_up, voc, bits, k)
 
-    return jax.jit(shard_map(
-        shard_fn, mesh,
+    return jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
         in_specs=(P(), P(), P(None, "data", None), P("data")),
-        out_specs=P("data"), check_rep=False))
+        out_specs=P("data"), check_vma=False))
 
 
 _CROSSFADE_CACHE: dict = {}
 
 
 def _crossfade_sharded(params, mels, voc, dsp, key, mesh, target, overlap,
-                       use_pallas):
+                       use_pallas, interpret=False):
     """Crossfade-mode fold sharding with frame-rate conditioning.
 
     Folds are embarrassingly parallel after their overlap warmup, so each
@@ -182,19 +202,8 @@ def _crossfade_sharded(params, mels, voc, dsp, key, mesh, target, overlap,
     import numpy as np
     from jax.sharding import Mesh
 
-    from ..models.wavernn import (_fused_fold_frames, _fused_setup,
-                                  melresnet_apply)
-
-    wave_len = (mels.shape[-1] - 1) * dsp.hop_length
-    total_len = mels.shape[-1] * dsp.hop_length
-    mels_p = jnp.pad(mels, ((0, 0), (0, 0), (voc.pad, voc.pad)))
-
-    geo, phi = _fused_setup(params, voc)
-    aux_fr, _ = melresnet_apply(params["upsample"]["resnet"], mels_p,
-                                training=False)
-    frames, fold_chunks = _fused_fold_frames(
-        jnp.swapaxes(mels_p[0], 0, 1), jnp.swapaxes(aux_fr[0], 0, 1),
-        total_len, target, overlap, geo)
+    frames, fold_chunks, geo, phi, wave_len = _fused_frame_prep(
+        params, mels, voc, dsp, target, overlap)
     num_folds = frames.shape[1]
 
     if mesh is None:
@@ -205,12 +214,12 @@ def _crossfade_sharded(params, mels, voc, dsp, key, mesh, target, overlap,
         frames = jnp.pad(frames, ((0, 0), (0, pad_folds), (0, 0)))
 
     cache_key = (mesh, voc, dsp.bits, geo.hop, geo.d_lo, geo.K, fold_chunks,
-                 use_pallas, dsp.num_mels)
+                 use_pallas, dsp.num_mels, interpret)
     prog = _CROSSFADE_CACHE.get(cache_key)
     if prog is None:
         prog = _CROSSFADE_CACHE.setdefault(cache_key, _crossfade_prog(
             mesh, voc, dsp.bits, geo.hop, geo.d_lo, geo.K, fold_chunks,
-            use_pallas, dsp.num_mels))
+            use_pallas, dsp.num_mels, interpret))
     keys = jnp.broadcast_to(key, (n,) + key.shape)
     samples = prog(params, phi, frames, keys)[:num_folds]
     wav = F.xfade_and_unfold_jax(samples, overlap)[:wave_len]
@@ -220,11 +229,12 @@ def _crossfade_sharded(params, mels, voc, dsp, key, mesh, target, overlap,
 def generate_sharded(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
                      mesh=None, target: Optional[int] = None,
                      overlap: Optional[int] = None, seam_passes: int = 0,
-                     use_pallas: bool = False):
+                     use_pallas: bool = False, interpret: bool = False):
     """End-to-end batched generation with folds laid out on the mesh's
     ``data`` axis.  seam_passes=0 -> reference crossfade semantics (fused
     frame-rate conditioning, explicit shard_map, zero mid-loop
     communication); seam_passes>0 -> exact-seam state handoff + hard concat.
+    ``interpret`` runs the Pallas paths in interpreter mode (CPU testing).
     """
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -237,28 +247,18 @@ def generate_sharded(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
 
     if seam_passes == 0 and _fused_cond_ok(voc, dsp, target, overlap):
         return _crossfade_sharded(params, mels, voc, dsp, key, mesh, target,
-                                  overlap, use_pallas)
+                                  overlap, use_pallas, interpret)
 
     if (seam_passes > 0 and mesh is None and use_pallas
             and _fused_cond_ok(voc, dsp, target, overlap)):
         # single-device exact seam on frame-rate conditioning (the mesh
         # case keeps the materialized path: its roll-shift must lower to a
         # collective, which needs GSPMD-visible state, not a pallas body)
-        from ..models.wavernn import (_fused_fold_frames, _fused_setup,
-                                      melresnet_apply)
-
-        wave_len = (mels.shape[-1] - 1) * dsp.hop_length
-        total_len = mels.shape[-1] * dsp.hop_length
-        mels_p = jnp.pad(mels, ((0, 0), (0, 0), (voc.pad, voc.pad)))
-        geo, phi = _fused_setup(params, voc)
-        aux_fr, _ = melresnet_apply(params["upsample"]["resnet"], mels_p,
-                                    training=False)
-        frames, fold_chunks = _fused_fold_frames(
-            jnp.swapaxes(mels_p[0], 0, 1), jnp.swapaxes(aux_fr[0], 0, 1),
-            total_len, target, overlap, geo)
+        frames, fold_chunks, geo, phi, wave_len = _fused_frame_prep(
+            params, mels, voc, dsp, target, overlap)
         samples, _ = generate_exact_seam_fused(
             params, frames, phi, voc, dsp.bits, key, geo.hop, -geo.d_lo,
-            fold_chunks, target, overlap, seam_passes)
+            fold_chunks, target, overlap, seam_passes, interpret=interpret)
         return np.asarray(concat_folds(samples, target, overlap, wave_len))
 
     wave_len = (mels.shape[-1] - 1) * dsp.hop_length
@@ -281,12 +281,14 @@ def generate_sharded(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
     if seam_passes > 0:
         samples, _ = generate_exact_seam(params, mels_up, aux, voc, dsp.bits,
                                          key, target, overlap, seam_passes,
-                                         use_pallas=use_pallas)
+                                         use_pallas=use_pallas,
+                                         interpret=interpret)
         return np.asarray(concat_folds(samples, target, overlap, wave_len))
 
     if use_pallas:
         from ..ops.pallas_gen import generate_pallas
-        samples = generate_pallas(params, mels_up, aux, voc, dsp.bits, key)
+        samples = generate_pallas(params, mels_up, aux, voc, dsp.bits, key,
+                                  interpret=interpret)
     else:
         from ..ops.sample_loop import generate_scan
         samples = generate_scan(params, mels_up, aux, voc, dsp.bits, key)
