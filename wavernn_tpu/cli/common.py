@@ -11,6 +11,18 @@ from ..paths import Workspace
 from ..train.checkpoints import load_tree, save_tree
 
 
+def force_cpu_backend() -> None:
+    """--force_cpu (reference: every CLI, e.g. train_wavernn.py:26):
+    run on the host CPU even when an accelerator is present.  Effective
+    only before the first computation initializes the backend — after
+    that the platform switch is silently ignored by jax, so verify and
+    warn (library callers that already touched the device)."""
+    jax.config.update("jax_platforms", "cpu")
+    if jax.devices()[0].platform != "cpu":
+        print("| WARNING: --force_cpu ignored (jax backend already "
+              "initialized on an accelerator)")
+
+
 def load_config(hp_file: str | None) -> Config:
     if hp_file and Path(hp_file).exists():
         return Config.from_hparams_file(hp_file)

@@ -21,6 +21,7 @@ def main(argv=None):
     parser.add_argument("--input_text", "-i", default=None)
     parser.add_argument("--save_attention", "-a", action="store_true")
     parser.add_argument("--hp_file", default=None)
+    parser.add_argument("--force_cpu", "-c", action="store_true")
     parser.add_argument("--use_standard_names", action="store_true")
     subs = parser.add_subparsers(dest="vocoder", required=True)
 
@@ -29,6 +30,10 @@ def main(argv=None):
     wr_p.add_argument("--unbatched", "-u", dest="batched",
                       action="store_false")
     wr_p.set_defaults(batched=None)
+    wr_p.add_argument("--target", "-t", type=int, default=None,
+                      help="samples per fold (overrides hparams)")
+    wr_p.add_argument("--overlap", "-o", type=int, default=None,
+                      help="crossover samples (overrides hparams)")
     wr_p.add_argument("--voc_weights", default=None)
     wr_p.add_argument("--tts_weights", default=None)
     wr_p.add_argument("--pallas", dest="pallas", action="store_true",
@@ -46,6 +51,9 @@ def main(argv=None):
     gl_p.add_argument("--tts_weights", default=None)
 
     args = parser.parse_args(argv)
+    if args.force_cpu:
+        from .common import force_cpu_backend
+        force_cpu_backend()
     cfg = load_config(args.hp_file)
     ws = make_workspace(cfg)
 
@@ -55,17 +63,20 @@ def main(argv=None):
 
     voc_params, voc_step = None, 0
     batched = True
+    target = overlap = None
     if args.vocoder == "wavernn":
         voc_weights = args.voc_weights or ws.voc_latest_weights
         voc_params, voc_step = load_voc_weights(voc_weights, cfg)
         batched = (cfg.voc.gen_batched if args.batched is None
                    else args.batched)
+        target = cfg.voc.target if args.target is None else args.target
+        overlap = cfg.voc.overlap if args.overlap is None else args.overlap
         simple_table([
             ("Tacotron", f"{tts_k}k"), ("r", r),
             ("Vocoder Type", "WaveRNN"), ("WaveRNN", f"{voc_step // 1000}k"),
             ("Generation Mode", "Batched" if batched else "Unbatched"),
-            ("Target Samples", cfg.voc.target if batched else "N/A"),
-            ("Overlap Samples", cfg.voc.overlap if batched else "N/A"),
+            ("Target Samples", target if batched else "N/A"),
+            ("Overlap Samples", overlap if batched else "N/A"),
         ])
     else:
         simple_table([("Tacotron", f"{tts_k}k"), ("r", r),
@@ -102,7 +113,8 @@ def main(argv=None):
                 key=jax.random.PRNGKey(i), batched=batched,
                 vocoder=args.vocoder,
                 gl_iters=getattr(args, "iters", 32),
-                use_pallas=getattr(args, "pallas", None))
+                use_pallas=getattr(args, "pallas", None),
+                target=target, overlap=overlap)
 
         if args.vocoder == "griffinlim":
             v_type = "griffinlim"

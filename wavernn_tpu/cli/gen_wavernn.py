@@ -24,7 +24,8 @@ def main(argv=None):
     parser.add_argument("--target", "-t", type=int)
     parser.add_argument("--overlap", "-o", type=int)
     parser.add_argument("--file", "-f", help="wav or mel npy to vocode")
-    parser.add_argument("--weights", "-w", help="weights file (.npz or .pyt)")
+    parser.add_argument("--weights", "--voc_weights", "-w", dest="weights",
+                        help="weights file (.npz or .pyt)")
     parser.add_argument("--gta", "-g", action="store_true")
     parser.add_argument("--pallas", dest="pallas", action="store_true",
                         default=None,
@@ -33,7 +34,11 @@ def main(argv=None):
     parser.add_argument("--no_pallas", dest="pallas", action="store_false",
                         help="force the portable lax.scan sample loop")
     parser.add_argument("--hp_file", default=None)
+    parser.add_argument("--force_cpu", "-c", action="store_true")
     args = parser.parse_args(argv)
+    if args.force_cpu:
+        from .common import force_cpu_backend
+        force_cpu_backend()
 
     cfg = load_config(args.hp_file)
     ws = make_workspace(cfg)

@@ -21,7 +21,11 @@ def main(argv=None):
     parser.add_argument("--num_workers", "-w", type=int,
                         default=max(1, cpu_count() - 1))
     parser.add_argument("--hp_file", default=None)
+    parser.add_argument("--force_cpu", "-c", action="store_true")
     args = parser.parse_args(argv)
+    if args.force_cpu:
+        from .common import force_cpu_backend
+        force_cpu_backend()
 
     cfg = load_config(args.hp_file)
     ws = make_workspace(cfg)

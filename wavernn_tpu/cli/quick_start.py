@@ -36,13 +36,20 @@ def _maybe_unzip(pretrained_dir: Path):
 def main(argv=None):
     parser = argparse.ArgumentParser(description="TTS quick start")
     parser.add_argument("--input_text", "-i", default=None)
+    parser.add_argument("--batched", "-b", dest="unbatched",
+                        action="store_false", help="fold-batched generation "
+                        "(the default, like quick_start.py:29)")
     parser.add_argument("--unbatched", "-u", action="store_true")
     parser.add_argument("--voc_weights", default=None)
     parser.add_argument("--tts_weights", default=None)
     parser.add_argument("--pretrained_dir", default="pretrained")
     parser.add_argument("--save_attention", "-a", action="store_true")
     parser.add_argument("--hp_file", default=None)
+    parser.add_argument("--force_cpu", "-c", action="store_true")
     args = parser.parse_args(argv)
+    if args.force_cpu:
+        from .common import force_cpu_backend
+        force_cpu_backend()
 
     cfg = load_config(args.hp_file)
     batched = not args.unbatched

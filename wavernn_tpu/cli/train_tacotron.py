@@ -23,8 +23,12 @@ def main(argv=None):
     parser.add_argument("--force_gta", "-g", action="store_true")
     parser.add_argument("--force_attn", "-a", action="store_true")
     parser.add_argument("--hp_file", default=None)
+    parser.add_argument("--force_cpu", "-c", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
+    if args.force_cpu:
+        from .common import force_cpu_backend
+        force_cpu_backend()
 
     from ..parallel.mesh import initialize_distributed
     initialize_distributed()  # multi-host no-op when single process

@@ -89,7 +89,7 @@ def gen_from_file(params, load_path: Path, save_path: Path, batched: bool,
 def tts_to_wav(tts_params, voc_params, text: str, cfg: Config, r: int,
                key=None, batched: bool = True, steps: int = 2000,
                vocoder: str = "wavernn", gl_iters: int = 32,
-               use_pallas=None):
+               use_pallas=None, target=None, overlap=None):
     """Full text -> waveform (gen_tacotron.py:142-173, quick_start.py:88-120).
 
     Uses the postnet output as the vocoder conditioning (`_, m, attention =
@@ -105,7 +105,9 @@ def tts_to_wav(tts_params, voc_params, text: str, cfg: Config, r: int,
     if vocoder == "wavernn":
         wav = wr.generate(voc_params, m[None], cfg.voc, cfg.dsp,
                           jax.random.fold_in(key, 1), batched=batched,
-                          target=cfg.voc.target, overlap=cfg.voc.overlap,
+                          target=cfg.voc.target if target is None else target,
+                          overlap=(cfg.voc.overlap if overlap is None
+                                   else overlap),
                           mu_law=cfg.dsp.mu_law,
                           use_pallas=_auto_pallas(use_pallas))
     elif vocoder == "griffinlim":
