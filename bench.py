@@ -7,7 +7,10 @@ MOL model, reference batched-generation config (target=11000, overlap=550,
 hparams.py:58-60).
 
 Prints ONE JSON line:
-  metric      : generation rate in kHz (samples/s / 1000) per chip
+  metric      : sustained generation rate in kHz (samples/s / 1000) per chip
+                (back-to-back dispatch, one fence — serving throughput; the
+                per-launch latency incl. the remote-tunnel round trip is
+                reported separately as single_launch_latency_ms)
   vs_baseline : ratio vs the 110.25 kHz target (5x realtime @ 22.05 kHz,
                 BASELINE.md north star; the reference itself only claims
                 "realtime+" on unspecified GPU hardware)
@@ -72,24 +75,41 @@ def main():
     assert np.all(np.abs(wav) <= np.sqrt(2) + 1e-5), float(np.max(np.abs(wav)))
     assert np.isfinite(wav).all() and float(np.std(wav)) > 1e-4
 
+    # per-launch latency: dispatch + generation + scalar fence (pays one
+    # remote-tunnel round trip per rep, so it is an upper bound with
+    # ~30-80 ms of launch-latency noise on a ~110 ms device computation)
     times = []
     for i in range(6):
         t0 = time.perf_counter()
         run(jax.random.PRNGKey(i + 1))
         times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    dt_lat = float(np.median(times))
+
+    # headline: sustained throughput — back-to-back dispatches, ONE fence at
+    # the end (how a serving system drives the chip; the async queue hides
+    # the per-launch tunnel latency that the median above pays every rep)
+    reps = 6
+    t0 = time.perf_counter()
+    sums = [jnp.sum(wr.generate_fast(params, mels, voc, dsp,
+                                     jax.random.PRNGKey(100 + i)))
+            for i in range(reps)]
+    np.asarray(jnp.stack(sums))
+    dt = (time.perf_counter() - t0) / reps
 
     audio_seconds = wave_len / dsp.sample_rate
     gen_rate_khz = wave_len / dt / 1000.0
     rtf = audio_seconds / dt
-    print(f"median {dt*1e3:.0f} ms for {audio_seconds:.1f}s audio "
-          f"({rtf:.0f}x realtime)", file=sys.stderr)
+    print(f"pipelined {dt*1e3:.0f} ms/utt ({rtf:.0f}x realtime), "
+          f"single-launch latency {dt_lat*1e3:.0f} ms "
+          f"({audio_seconds/dt_lat:.0f}x) for {audio_seconds:.1f}s audio",
+          file=sys.stderr)
 
     result = {
         "metric": "wavernn_mol_batched_gen_rate_per_chip",
         "value": round(gen_rate_khz, 1),
         "unit": "kHz",
         "vs_baseline": round(gen_rate_khz / 110.25, 2),
+        "single_launch_latency_ms": round(dt_lat * 1e3, 1),
     }
     if "parity" not in skip:
         result.update(benchmarks.parity_checks())
