@@ -297,3 +297,43 @@ def test_fused_state_kernel_matches_materialized_state(rng):
     for a, b_ in zip(got_snap, want_snap):
         np.testing.assert_allclose(np.asarray(a)[:-1], np.asarray(b_)[:-1],
                                    atol=2e-4)
+
+
+def test_tts_to_wav_fast_single_tail_fade(rng):
+    """Regression: when the utterance never stops, T_valid == steps ==
+    bucket and the vocoder's own bucket-end fade would overlap the host
+    fade — the real tail must be attenuated by exactly ONE linear fade
+    (generate_fast is called with tail_fade=False)."""
+    import dataclasses
+
+    from wavernn_tpu.config import Config
+    from wavernn_tpu.models import tacotron as taco
+    from wavernn_tpu.synthesis import tts_to_wav_fast
+
+    cfg = Config()
+    tts = dataclasses.replace(cfg.tts, embed_dims=16, encoder_dims=128,
+                              decoder_dims=256, postnet_dims=16, encoder_K=2,
+                              lstm_dims=32, postnet_K=2, num_highways=1)
+    cfg = dataclasses.replace(
+        cfg, tts=tts, voc=dataclasses.replace(
+            cfg.voc, rnn_dims=32, fc_dims=32, compute_dims=16,
+            res_out_dims=32, res_blocks=1))
+    tp = taco.init_tacotron(jax.random.PRNGKey(0), cfg.tts, cfg.dsp.num_mels)
+    vp = wr.init_wavernn(jax.random.PRNGKey(1), cfg.voc, cfg.dsp)
+    key = jax.random.PRNGKey(7)
+    steps = 64
+    wav, mel = tts_to_wav_fast(tp, vp, "hello world", cfg, r=2, steps=steps,
+                               mel_buckets=(16, 32, 64), use_pallas=False,
+                               key=key)
+    assert mel.shape[1] == steps  # never stopped: T_valid == bucket == steps
+
+    # reference: same vocoder run without any device fade, trimmed, then
+    # one host linear fade — what the serving path must equal
+    _, k_voc = jax.random.split(key)
+    raw = np.asarray(wr.generate_fast(vp, jnp.asarray(mel)[None], cfg.voc,
+                                      cfg.dsp, k_voc, mu_law=cfg.dsp.mu_law,
+                                      use_pallas=False, tail_fade=False))
+    want = raw[: wav.shape[0]].copy()
+    n_fade = min(20 * cfg.dsp.hop_length, want.shape[0])
+    want[-n_fade:] *= np.linspace(1.0, 0.0, n_fade, dtype=want.dtype)
+    np.testing.assert_allclose(wav, want, atol=1e-6)

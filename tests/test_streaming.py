@@ -103,3 +103,18 @@ def test_streaming_mu_law_decode(rng):
                           chunk_frames=7, noise=noise)
     got = np.concatenate([sv.feed(mels), sv.flush()])
     np.testing.assert_allclose(got, want.astype(np.float32), atol=1e-7)
+
+
+def test_streaming_buffer_stays_bounded(rng):
+    """Consumed frames are dropped from the mel buffer after each drain —
+    an hours-long live stream must hold only the pad-frame left context
+    plus pending frames, not the whole history."""
+    voc = _cfg("MOL")
+    params = wr.init_wavernn(jax.random.PRNGKey(1), voc, DSP)
+    sv = StreamingVocoder(params, voc, DSP, jax.random.PRNGKey(0),
+                          chunk_frames=4)
+    bound = 4 + 2 * voc.pad + 3  # one window + the largest feed remainder
+    for i in range(12):
+        sv.feed(rng.uniform(0, 1, (DSP.num_mels, 3)))
+        assert sv._buf.shape[1] <= bound, (i, sv._buf.shape)
+    assert sv.flush().size > 0

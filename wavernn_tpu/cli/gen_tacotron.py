@@ -105,7 +105,8 @@ def main(argv=None):
             wav, m = tts_to_wav_fast(
                 tts_params, voc_params, text, cfg, r,
                 key=jax.random.PRNGKey(i),
-                use_pallas=getattr(args, "pallas", None))
+                use_pallas=getattr(args, "pallas", None),
+                target=target, overlap=overlap)
             attention = None
         else:
             wav, m, attention = tts_to_wav(

@@ -238,7 +238,8 @@ def _fused_fold_frames(mel_frames_T, aux_frames_T, total_len: int,
 def _generate_device(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
                      target: int, overlap: int, mu_law: bool,
                      use_pallas: bool, interpret: bool = False,
-                     compute_dtype=jnp.bfloat16, noise=None):
+                     compute_dtype=jnp.bfloat16, noise=None,
+                     tail_fade: bool = True):
     """Whole generation pipeline as one XLA program: conditioning ->
     sample loop -> mu-law decode -> equal-power xfade -> tail fade.
 
@@ -290,6 +291,12 @@ def _generate_device(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
         samples = jnp.sign(samples) / mu * ((1 + mu) ** jnp.abs(samples) - 1)
 
     wav = F.xfade_and_unfold_jax(samples, overlap)[:wave_len]
+    if not tail_fade:
+        # caller will fade at the true utterance end (e.g. tts_to_wav_fast
+        # trims a bucket-padded wav before fading — fading here too would
+        # double-attenuate utterances that end within 20 frames of the
+        # bucket boundary)
+        return wav
     n_fade = 20 * dsp.hop_length
     fade = jnp.linspace(1.0, 0.0, n_fade)
     return wav.at[-n_fade:].multiply(fade[-min(n_fade, wave_len):])
@@ -298,7 +305,8 @@ def _generate_device(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
 _generate_device_jit = jax.jit(
     _generate_device,
     static_argnames=("voc", "dsp", "target", "overlap", "mu_law",
-                     "use_pallas", "interpret", "compute_dtype"))
+                     "use_pallas", "interpret", "compute_dtype",
+                     "tail_fade"))
 
 
 @partial(jax.jit, static_argnames=("voc",))
@@ -310,7 +318,7 @@ def generate_fast(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
                   target: Optional[int] = None, overlap: Optional[int] = None,
                   mu_law: bool = True, use_pallas: bool = True,
                   interpret: bool = False, compute_dtype=jnp.bfloat16,
-                  noise=None):
+                  noise=None, tail_fade: bool = True):
     """Production generation path: one jit-compiled program, float32 xfade
     on-device (vs the reference's host float64 loop). Returns (wave_len,)
     float32 on device."""
@@ -318,7 +326,7 @@ def generate_fast(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
     overlap = voc.overlap if overlap is None else overlap
     return _generate_device_jit(params, jnp.asarray(mels), voc, dsp, key,
                                 target, overlap, mu_law, use_pallas,
-                                interpret, compute_dtype, noise)
+                                interpret, compute_dtype, noise, tail_fade)
 
 
 def generate_multi(params, mels_list, voc: WaveRNNConfig, dsp: DSPConfig,

@@ -404,7 +404,30 @@ def generate_pallas_sparse(params, mels_up, aux, voc: WaveRNNConfig, bits: int,
         sparse_static=tuple(sparse_static))
 
 
-def _noise_stream(key, noise, T_pad: int, B: int, n_classes: int, mol: bool):
+def _core_weight_casts(params, R: int, FC: int, cd, gd):
+    """rnn/fc weight views cast for VMEM residency, shared by the
+    materialized and fused kernels (they differ only in how the I-layer
+    input rows are split). Gate-path biases live in the gate dtype so the
+    bf16 recurrence never upcasts; fc3's bias stays f32 (the logits are
+    the numerically sensitive end)."""
+    return [
+        params["rnn1"]["wi"].astype(cd), params["rnn1"]["wh"].astype(cd),
+        params["rnn1"]["bi"][None].astype(gd),
+        params["rnn1"]["bh"][None].astype(gd),
+        params["rnn2"]["wi"][:R].astype(cd), params["rnn2"]["wi"][R:].astype(cd),
+        params["rnn2"]["wh"].astype(cd),
+        params["rnn2"]["bi"][None].astype(gd),
+        params["rnn2"]["bh"][None].astype(gd),
+        params["fc1"]["w"][:R].astype(cd), params["fc1"]["w"][R:].astype(cd),
+        params["fc1"]["b"][None].astype(gd),
+        params["fc2"]["w"][:FC].astype(cd), params["fc2"]["w"][FC:].astype(cd),
+        params["fc2"]["b"][None].astype(gd),
+        params["fc3"]["w"].astype(cd),
+        params["fc3"]["b"][None].astype(jnp.float32),
+    ]
+
+
+def _noise_stream(key, noise, T_pad: int, mol: bool):
     """Build the (T_pad, B, NU) sampling-noise stream + an int32 PRNG seed.
 
     All noise rides in ONE time-major stream so every per-step read is a
@@ -447,7 +470,7 @@ def _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise, chunk,
     cond = jnp.pad(cond, ((0, 0), (0, T_pad - T), (0, 0)))
     cond = jnp.swapaxes(cond, 0, 1)                           # (T_pad, B, ·)
 
-    seed, u = _noise_stream(key, noise, T_pad, B, n_classes, mol)
+    seed, u = _noise_stream(key, noise, T_pad, mol)
     noise_in = [] if u is None else [u]
 
     cd = compute_dtype
@@ -459,20 +482,7 @@ def _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise, chunk,
         w_I[1:].astype(cd),                      # w_Ic (n_mels+A, R)
         w_I[0:1].astype(jnp.float32),            # w_Ix (1, R)
         params["I"]["b"][None].astype(jnp.float32),
-        params["rnn1"]["wi"].astype(cd), params["rnn1"]["wh"].astype(cd),
-        params["rnn1"]["bi"][None].astype(gd),
-        params["rnn1"]["bh"][None].astype(gd),
-        params["rnn2"]["wi"][:R].astype(cd), params["rnn2"]["wi"][R:].astype(cd),
-        params["rnn2"]["wh"].astype(cd),
-        params["rnn2"]["bi"][None].astype(gd),
-        params["rnn2"]["bh"][None].astype(gd),
-        params["fc1"]["w"][:R].astype(cd), params["fc1"]["w"][R:].astype(cd),
-        params["fc1"]["b"][None].astype(gd),
-        params["fc2"]["w"][:FC].astype(cd), params["fc2"]["w"][FC:].astype(cd),
-        params["fc2"]["b"][None].astype(gd),
-        params["fc3"]["w"].astype(cd),
-        params["fc3"]["b"][None].astype(jnp.float32),
-    ]
+    ] + _core_weight_casts(params, R, FC, cd, gd)
     for (name, _), arr in zip(sparse_static, sparse_arrays):
         weights[_SPARSE_POS[name]] = arr  # packed f32 nonzero blocks
 
@@ -765,7 +775,7 @@ def _fused_impl(params, frames_folded, phi, voc, bits, key, hop, aux_tap,
     use_prng = noise is None
     T = fold_chunks * hop
 
-    seed, u = _noise_stream(key, noise, T, B, n_classes, mol)
+    seed, u = _noise_stream(key, noise, T, mol)
     noise_in = [] if u is None else [u]
 
     cd = compute_dtype
@@ -778,20 +788,7 @@ def _fused_impl(params, frames_folded, phi, voc, bits, key, hop, aux_tap,
         w_I[1 + n_mels:].astype(cd),             # w_Ia1
         w_I[0:1].astype(jnp.float32),            # w_Ix
         params["I"]["b"][None].astype(jnp.float32),
-        params["rnn1"]["wi"].astype(cd), params["rnn1"]["wh"].astype(cd),
-        params["rnn1"]["bi"][None].astype(gd),
-        params["rnn1"]["bh"][None].astype(gd),
-        params["rnn2"]["wi"][:R].astype(cd), params["rnn2"]["wi"][R:].astype(cd),
-        params["rnn2"]["wh"].astype(cd),
-        params["rnn2"]["bi"][None].astype(gd),
-        params["rnn2"]["bh"][None].astype(gd),
-        params["fc1"]["w"][:R].astype(cd), params["fc1"]["w"][R:].astype(cd),
-        params["fc1"]["b"][None].astype(gd),
-        params["fc2"]["w"][:FCd].astype(cd), params["fc2"]["w"][FCd:].astype(cd),
-        params["fc2"]["b"][None].astype(gd),
-        params["fc3"]["w"].astype(cd),
-        params["fc3"]["b"][None].astype(jnp.float32),
-    ]
+    ] + _core_weight_casts(params, R, FCd, cd, gd)
 
     def const_spec(shape):
         return pl.BlockSpec(shape, lambda t, s: (0,) * len(shape),

@@ -121,6 +121,30 @@ def upsample_polyphase(up_convs, mels_padded, upsample_factors, pad):
     return out
 
 
+def reconstruct_from_folded(frames_folded, phi, hop: int, aux_tap: int,
+                            fold_chunks: int, n_mels: int):
+    """Scan-twin of the fused kernel's in-register conditioning: materialize
+    sample-rate (mels_up, aux_up) from folded frame rows in the
+    build_folded_frames layout (rows already shifted by d_lo, so chunk c's
+    tap j reads row c + j and the aux repeat reads tap ``aux_tap = -d_lo``).
+
+    frames_folded: (nf_loc, B, n_mels + 4*aux_dims) ->
+    (mels_up (B, L, n_mels), aux_up (B, L, 4*aux_dims)), L = fold_chunks*hop.
+    Keeping this next to phi_table pins the tap-indexing convention in one
+    place for every non-kernel consumer (CPU shard meshes, tests)."""
+    mel_fr = jnp.swapaxes(frames_folded[..., :n_mels], 0, 1)  # (B, nf, C)
+    aux_fr = jnp.swapaxes(frames_folded[..., n_mels:], 0, 1)
+    L = fold_chunks * hop
+    s = np.arange(L)
+    mels_up = jnp.zeros((mel_fr.shape[0], L, n_mels), jnp.float32)
+    for j in range(phi.shape[0]):
+        w = phi[j][jnp.asarray(s % hop)]
+        mels_up = mels_up + w[None, :, None] * mel_fr[:, jnp.asarray(
+            s // hop + j)]
+    aux_up = aux_fr[:, jnp.asarray(s // hop + aux_tap)]
+    return mels_up, aux_up
+
+
 def fold_geometry(total_len: int, target: int, overlap: int,
                   hop: int) -> Tuple[int, int, int, int]:
     """Frame-rate fold layout (valid only when target and overlap are

@@ -145,13 +145,12 @@ def _fused_frame_prep(params, mels, voc, dsp, target, overlap):
     return frames, fold_chunks, geo, phi, wave_len
 
 
-def _crossfade_prog(mesh, voc, bits: int, hop: int, d_lo: int, K: int,
+def _crossfade_prog(mesh, voc, bits: int, hop: int, d_lo: int,
                     fold_chunks: int, use_pallas: bool, n_mels: int,
                     interpret: bool = False):
     """Compiled shard_map program for crossfade-mode fold sharding (cached
     per static config — rebuilding the jit wrapper per call would
     recompile on every utterance)."""
-    import numpy as np
     from jax.sharding import PartitionSpec as P
 
     def shard_fn(params, phi, frames_local, keys_local):
@@ -163,17 +162,10 @@ def _crossfade_prog(mesh, voc, bits: int, hop: int, d_lo: int, K: int,
                                          interpret=interpret)
         # scan twin (CPU meshes): reconstruct sample-rate conditioning per
         # shard from the frame rows via the same polyphase table + repeat
+        from ..ops.polyphase import reconstruct_from_folded
         from ..ops.sample_loop import generate_scan
-        mel_fr = jnp.swapaxes(frames_local[..., :n_mels], 0, 1)
-        aux_fr = jnp.swapaxes(frames_local[..., n_mels:], 0, 1)
-        L = fold_chunks * hop
-        s = np.arange(L)
-        mels_up = jnp.zeros((mel_fr.shape[0], L, n_mels), jnp.float32)
-        for j in range(K):
-            w = phi[j][jnp.asarray(s % hop)]
-            mels_up = mels_up + w[None, :, None] * mel_fr[:, jnp.asarray(
-                s // hop + j)]
-        aux_up = aux_fr[:, jnp.asarray(s // hop - d_lo)]
+        mels_up, aux_up = reconstruct_from_folded(frames_local, phi, hop,
+                                                  -d_lo, fold_chunks, n_mels)
         return generate_scan(params, mels_up, aux_up, voc, bits, k)
 
     return jax.jit(jax.shard_map(
@@ -218,7 +210,7 @@ def _crossfade_sharded(params, mels, voc, dsp, key, mesh, target, overlap,
     prog = _CROSSFADE_CACHE.get(cache_key)
     if prog is None:
         prog = _CROSSFADE_CACHE.setdefault(cache_key, _crossfade_prog(
-            mesh, voc, dsp.bits, geo.hop, geo.d_lo, geo.K, fold_chunks,
+            mesh, voc, dsp.bits, geo.hop, geo.d_lo, fold_chunks,
             use_pallas, dsp.num_mels, interpret))
     keys = jnp.broadcast_to(key, (n,) + key.shape)
     samples = prog(params, phi, frames, keys)[:num_folds]

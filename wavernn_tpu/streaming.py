@@ -150,6 +150,12 @@ class StreamingVocoder:
                           self._emitted + self.chunk_frames + 2 * voc.pad]
             outs.append(self._run_block(w))
             self._emitted += self.chunk_frames
+        if self._emitted:
+            # frames left of the next window's start are never read again;
+            # drop them so a long-lived stream holds only the pad-frame
+            # left context plus pending frames (bounded, not O(stream))
+            self._buf = self._buf[:, self._emitted:]
+            self._emitted = 0
         if outs:
             return np.concatenate(outs)
         return np.zeros((0,), np.float32)

@@ -121,7 +121,7 @@ def tts_to_wav(tts_params, voc_params, text: str, cfg: Config, r: int,
 def tts_to_wav_fast(tts_params, voc_params, text: str, cfg: Config, r: int,
                     key=None, steps: int = 2000,
                     mel_buckets=(256, 512, 1024, 2048),
-                    use_pallas=None):
+                    use_pallas=None, target=None, overlap=None):
     """Serving-latency text -> wav: no host round-trip between stages.
 
     `tts_to_wav` mirrors the reference flow (gen_tacotron.py:142-173):
@@ -159,13 +159,17 @@ def tts_to_wav_fast(tts_params, voc_params, text: str, cfg: Config, r: int,
     # pad the tail of short utterances with the frozen silent frames the
     # decoder produced anyway (bucket <= steps, so this is a static slice)
     mel01 = jnp.clip((linear[:, :, :bucket] + 4.0) / 8.0, 0.0, 1.0)
+    # tail_fade=False: the device fade would land at the BUCKET end; for an
+    # utterance ending within 20 frames of the bucket boundary it would
+    # overlap the host fade below and double-attenuate the real tail
     wav = wr.generate_fast(voc_params, mel01, cfg.voc, cfg.dsp, k_voc,
-                           mu_law=cfg.dsp.mu_law, use_pallas=pallas)
+                           target=target, overlap=overlap,
+                           mu_law=cfg.dsp.mu_law, use_pallas=pallas,
+                           tail_fade=False)
     wave_valid = max(T_valid - 1, 1) * cfg.dsp.hop_length
     wav = np.array(np.asarray(wav)[:wave_valid])
-    # the in-device fade landed at the BUCKET end (discarded padding for
-    # short utterances); fade the real tail like tts_to_wav / the
-    # reference (fatchord_version.py:255-258)
+    # fade the real tail like tts_to_wav / the reference
+    # (fatchord_version.py:255-258)
     n_fade = min(20 * cfg.dsp.hop_length, wave_valid)
     wav[-n_fade:] *= np.linspace(1.0, 0.0, n_fade, dtype=wav.dtype)
     return wav, np.asarray(mel01[0, :, :T_valid])
