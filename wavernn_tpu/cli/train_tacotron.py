@@ -25,6 +25,10 @@ def main(argv=None):
     parser.add_argument("--hp_file", default=None)
     parser.add_argument("--force_cpu", "-c", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--profile_dir", default=None,
+                        help="capture a jax.profiler trace of the first "
+                             "training steps into this directory "
+                             "(view with TensorBoard/XProf)")
     args = parser.parse_args(argv)
     if args.force_cpu:
         from .common import force_cpu_backend
@@ -64,11 +68,21 @@ def main(argv=None):
             tt.create_attn_ref(state.params, ds, cfg.tts, r, ws.attn)
         return
 
+    # in-path SPMD over every device (reference in-loop DataParallel,
+    # train_tacotron.py:178-179/264-266/379-380). One mesh must serve every
+    # session of the progressive schedule, so size it by the gcd of the
+    # per-session batch sizes (sessions only shrink the batch, hparams:84-87)
+    import math
+    from ..parallel.mesh import training_mesh
+    mesh = training_mesh(math.gcd(*(bs for _, _, _, bs
+                                    in cfg.tts_train.schedule)))
+
     simple_table([
         ("Mode", cfg.tts.mode),
         ("Step", int(state.step)),
         ("Schedule", len(cfg.tts_train.schedule)),
         ("Max mel len", cfg.tts_train.max_mel_len),
+        ("Devices", f"{mesh.shape['data']} data-parallel"),
     ])
 
     def make_dataset(r, bs):
@@ -94,7 +108,8 @@ def main(argv=None):
     tt.train_loop(cfg, ws, state, make_dataset,
                   teacher_params=teacher_params,
                   key=jax.random.PRNGKey(args.seed),
-                  on_checkpoint=on_checkpoint)
+                  on_checkpoint=on_checkpoint, mesh=mesh,
+                  profile_dir=args.profile_dir)
     print("Training Complete.")
 
 

@@ -25,17 +25,29 @@ def main(argv=None):
     parser.add_argument("--force_train", "-f", action="store_true")
     parser.add_argument("--gta", "-g", action="store_true",
                         help="train on GTA features")
+    parser.add_argument("--prune", action="store_true",
+                        help="enable magnitude pruning (cubic sparsity "
+                             "schedule; reference Pruning notebook) even if "
+                             "the hparams file doesn't set voc_prune")
     parser.add_argument("--hp_file", default=None)
     parser.add_argument("--force_cpu", "-c", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--profile_dir", default=None,
+                        help="capture a jax.profiler trace of the first "
+                             "training steps into this directory "
+                             "(view with TensorBoard/XProf)")
     args = parser.parse_args(argv)
     if args.force_cpu:
         from .common import force_cpu_backend
         force_cpu_backend()
 
-    from ..parallel.mesh import initialize_distributed
+    from ..parallel.mesh import initialize_distributed, training_mesh
     initialize_distributed()  # multi-host no-op when single process
     cfg = load_config(args.hp_file)
+    if args.prune and not cfg.voc_train.prune:
+        import dataclasses
+        cfg = cfg.replace(voc_train=dataclasses.replace(cfg.voc_train,
+                                                        prune=True))
     lr = args.lr or cfg.voc_train.lr
     batch_size = args.batch_size or cfg.voc_train.batch_size
     ws = make_workspace(cfg)
@@ -46,6 +58,9 @@ def main(argv=None):
     n_hosts = jax.process_count()
     assert batch_size % max(n_hosts, 1) == 0, \
         "batch size must be divisible by host count"
+    # in-path SPMD: batch sharded over every device, params replicated
+    # (reference in-loop DataParallel, train_wavernn.py:116-117)
+    mesh = training_mesh(batch_size)
 
     state = wt.create_train_state(jax.random.PRNGKey(args.seed), cfg.voc,
                                   cfg.dsp, lr, cfg.voc_train.clip_grad_norm)
@@ -69,6 +84,11 @@ def main(argv=None):
         ("LR", lr),
         ("Sequence Len", cfg.voc_train.seq_len),
         ("GTA Train", args.gta),
+        ("Devices", f"{mesh.shape['data']} data-parallel"
+                    f" x {max(n_hosts, 1)} host(s)"),
+        ("Pruning", (f"{cfg.voc_train.prune_sparsity:.2%} by step "
+                     f"{cfg.voc_train.prune_start + cfg.voc_train.prune_steps}"
+                     if cfg.voc_train.prune else "off")),
     ])
 
     def on_checkpoint(st):
@@ -77,7 +97,8 @@ def main(argv=None):
                     ws.voc_output, cfg, step=int(st.step))
 
     wt.train_loop(cfg, ws, train_set, state, lr=lr, total_steps=total_steps,
-                  on_checkpoint=on_checkpoint)
+                  on_checkpoint=on_checkpoint, mesh=mesh,
+                  profile_dir=args.profile_dir)
     print("Training Complete.")
 
 

@@ -33,12 +33,17 @@ def _stage(batch):
 
 
 def prefetch(iterable: Iterable, size: int = 2,
-             device_put: bool = True) -> Iterator:
+             device_put: bool = True, stage=None) -> Iterator:
     """Iterate ``iterable`` on a daemon thread, ``size`` batches ahead.
 
     Producer exceptions re-raise at the consumer. The queue holds batches
-    already staged on device (unless ``device_put=False``).
+    already staged on device (unless ``device_put=False``).  ``stage``
+    overrides the default whole-batch ``jax.device_put`` — the SPMD train
+    loops pass ``parallel.mesh.stage_batch`` so batches land pre-sharded on
+    the mesh's data axis without breaking the prefetch overlap.
     """
+    if stage is None:
+        stage = _stage
     q: queue.Queue = queue.Queue(maxsize=size)
     stop = threading.Event()
 
@@ -58,7 +63,7 @@ def prefetch(iterable: Iterable, size: int = 2,
     def producer():
         try:
             for batch in iterable:
-                if not put(_stage(batch) if device_put else batch):
+                if not put(stage(batch) if device_put else batch):
                     return
         except BaseException as e:  # noqa: BLE001 — re-raised at consumer
             put(e)

@@ -34,6 +34,33 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     return Mesh(devs, ("data", "model"))
 
 
+def training_mesh(global_batch: int, devices=None) -> Mesh:
+    """Production-training mesh: every device on the ``data`` axis.
+
+    This is the in-path equivalent of the reference's in-loop DataParallel
+    (utils/__init__.py:22-36 called from train_wavernn.py:116-117 and the
+    three tacotron loops): the train CLIs call it unconditionally and run
+    the same SPMD program on 1 chip or a pod slice.
+
+    The reference asserts batch % n_gpus == 0 and dies; here the data axis
+    is the LARGEST divisor of the global batch that fits the device count,
+    so a batch that does not split evenly trains on fewer devices instead
+    of crashing (with a warning) — the batch axis must divide exactly or
+    GSPMD would pad unevenly across shards.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    while n > 1 and global_batch % n != 0:
+        n -= 1
+    if n != len(devices):
+        import warnings
+        warnings.warn(
+            f"global batch {global_batch} does not divide over "
+            f"{len(devices)} devices; training data-parallel over {n}")
+    return make_mesh(n_data=n, devices=devices[:n])
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch/fold) axis over `data`."""
     return NamedSharding(mesh, P("data"))
@@ -52,6 +79,32 @@ def shard_batch(mesh: Mesh, batch):
 def replicate(mesh: Mesh, tree):
     r = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, r), tree)
+
+
+def stage_batch(mesh: Mesh, batch):
+    """Stage one training batch onto the mesh: numeric ndarray/jax-array
+    elements get their leading (batch) axis sharded over ``data``; anything
+    else (item-id lists, length lists) passes through untouched.
+
+    Multi-host: each process holds only its per-host slice of the global
+    batch (data/dataset.py shard slicing), so the global array is assembled
+    from process-local shards — no cross-host data movement.
+    """
+    s = batch_sharding(mesh)
+    multihost = jax.process_count() > 1
+
+    def put(x):
+        if isinstance(x, jax.Array) and not isinstance(x, np.ndarray):
+            return jax.device_put(x, s)
+        if isinstance(x, np.ndarray) and x.dtype.kind in "fiub":
+            if multihost:
+                return jax.make_array_from_process_local_data(s, x)
+            return jax.device_put(x, s)
+        return x
+
+    if isinstance(batch, (tuple, list)):
+        return type(batch)(put(x) for x in batch)
+    return put(batch)
 
 
 def initialize_distributed(coordinator_address: Optional[str] = None,

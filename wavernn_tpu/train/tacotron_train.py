@@ -140,22 +140,51 @@ def _merge_bn(params, bn_source):
 def train_loop(cfg: Config, workspace, state: TTSTrainState,
                make_dataset, teacher_params=None, log=print,
                max_steps: Optional[int] = None, key=None,
-               on_checkpoint=None):
+               on_checkpoint=None, mesh=None, profile_dir=None,
+               profile_steps: int = 20):
     """Progressive-schedule training driver (train_tacotron.py:98-430).
 
     make_dataset(r, batch_size) -> iterable of batches.  Dispatches on
     cfg.tts.mode to the TF / AF-online / AF-offline steps; checkpoints every
     cfg.tts_train.checkpoint_every steps plus a named snapshot.
+
+    ``mesh``: SPMD device mesh — params (and the AF-online frozen teacher)
+    replicated, batches sharded over ``data``, psums by GSPMD; the in-path
+    counterpart of the reference's DataParallel at
+    train_tacotron.py:178-179/264-266/379-380.
+
+    ``profile_dir``: jax.profiler trace of the first ``profile_steps``
+    steps (--profile_dir CLI flag).  Structured JSONL metrics land at
+    workspace.tts_metrics (one record per checkpoint/session).
     """
     import jax as _jax
 
     from ..data.prefetch import prefetch
+    from ..utils.metrics import MetricsLogger, StepTimer, profile_trace
     from .checkpoints import save_checkpoint
 
     key = key if key is not None else jax.random.PRNGKey(0)
     mode = cfg.tts.mode
     offline = mode == "attention_forcing_offline"
     online = mode == "attention_forcing_online"
+
+    stage = None
+    if mesh is not None:
+        from ..parallel.mesh import replicate, stage_batch
+        state = TTSTrainState(replicate(mesh, state.params),
+                              replicate(mesh, state.opt_state),
+                              replicate(mesh, state.step))
+        if teacher_params is not None:
+            teacher_params = replicate(mesh, teacher_params)
+        stage = lambda b: stage_batch(mesh, b)
+
+    metrics_log = MetricsLogger(workspace.tts_metrics)
+    timer = StepTimer()
+    profiler = None
+    if profile_dir is not None:
+        profiler = profile_trace(profile_dir)
+        profiler.__enter__()
+    profile_until = int(state.step) + profile_steps
 
     step = int(state.step)
     for session_idx, (r, lr, max_step, bs) in enumerate(cfg.tts_train.schedule):
@@ -166,7 +195,7 @@ def train_loop(cfg: Config, workspace, state: TTSTrainState,
         dataset = make_dataset(r, bs)
         log(f"Session {session_idx}: r={r} lr={lr} until step {max_step} bs={bs}")
         while step < max_step:
-            for batch in prefetch(dataset):
+            for batch in prefetch(dataset, stage=stage):
                 key, k_step, k_teacher = _jax.random.split(key, 3)
                 if offline:
                     chars, mel, ids, mel_lens, attn_ref = batch
@@ -196,11 +225,19 @@ def train_loop(cfg: Config, workspace, state: TTSTrainState,
                         precision=cfg.tts_train.precision)
 
                 step += 1  # host-side mirror of state.step (no device sync)
+                timer.tick()
+                if profiler is not None and step >= profile_until:
+                    profiler.__exit__(None, None, None)
+                    profiler = None
                 if step % cfg.tts_train.checkpoint_every == 0:
                     save_checkpoint("tts", workspace, state.params,
                                     state.opt_state, step,
                                     name=f"taco_step{step // 1000}K", log=log,
                                     extra_meta={"r": r})
+                    metrics_log.log(event="checkpoint", step=step, r=r,
+                                    loss=round(float(metrics["loss"]), 6),
+                                    steps_per_s=round(timer.steps_per_sec,
+                                                      3))
                     if on_checkpoint is not None:
                         on_checkpoint(state, metrics, ids)
                 if step >= max_step or (max_steps is not None
@@ -215,8 +252,13 @@ def train_loop(cfg: Config, workspace, state: TTSTrainState,
         log(msg)
         with open(workspace.tts_log, "a") as f:
             print(msg, file=f)
+        metrics_log.log(event="session", session=session_idx, step=step,
+                        r=r, loss=round(float(metrics["loss"]), 6),
+                        steps_per_s=round(timer.steps_per_sec, 3))
         if max_steps is not None and step >= max_steps:
             break
+    if profiler is not None:
+        profiler.__exit__(None, None, None)
     return state
 
 

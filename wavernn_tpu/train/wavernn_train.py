@@ -64,13 +64,18 @@ def loss_fn(params, x, y, mels, voc: WaveRNNConfig, dsp: DSPConfig,
 def train_step(state: TrainState, x, y, mels, voc: WaveRNNConfig,
                dsp: DSPConfig, lr: float,
                clip_grad_norm: Optional[float] = 4.0,
-               precision: str = "float32"):
+               precision: str = "float32", masks=None):
     """One optimizer step. Returns (new_state, metrics).
 
     precision="bfloat16" runs the core GRU/FC stack (forward AND backward)
     in bf16 with f32 master weights, f32 optimizer state, and f32 BatchNorm
     statistics — bf16 shares f32's exponent range, so no loss scaling is
     needed (unlike f16). Measured ~2x step throughput on one chip.
+
+    ``masks``: optional pruning-mask pytree ('/'-joined param path -> 0/1
+    mask, train/pruning.py). Applied to the weights AFTER the optimizer
+    update, so the next forward sees pruned weights every step once pruning
+    is active (reference Pruner.apply_or_not: every step past t0).
     """
     compute_dtype = (jnp.bfloat16 if precision == "bfloat16" else None)
     (loss, new_params), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -80,6 +85,9 @@ def train_step(state: TrainState, x, y, mels, voc: WaveRNNConfig,
     params = optax.apply_updates(state.params, updates)
     # carry over the batchnorm running stats computed in the forward
     params = _merge_bn_stats(params, new_params)
+    if masks is not None:
+        from .pruning import apply_masks
+        params = apply_masks(params, masks)
     gnorm = optax.global_norm(grads)
     return (TrainState(params, opt_state, state.step + 1),
             {"loss": loss, "grad_norm": gnorm})
@@ -99,20 +107,38 @@ def _merge_bn_stats(params, bn_source):
 def train_loop(cfg: Config, workspace, dataset, state: TrainState,
                lr: Optional[float] = None, total_steps: Optional[int] = None,
                log=print, checkpoint_every: Optional[int] = None,
-               on_checkpoint=None):
+               on_checkpoint=None, mesh=None, profile_dir=None,
+               profile_steps: int = 20):
     """Epoch loop (train_wavernn.py:98-162): periodic named checkpoints,
     per-epoch latest checkpoint + log line.
+
+    ``mesh``: SPMD device mesh (parallel/mesh.py). Parameters/optimizer
+    state are replicated, every batch's leading axis is sharded over the
+    ``data`` axis, and GSPMD inserts the gradient psums — the in-path
+    equivalent of the reference's in-loop DataParallel
+    (train_wavernn.py:116-117, utils/__init__.py:22-36). mesh=None trains
+    on the default device.
+
+    ``profile_dir``: capture a jax.profiler trace (XProf/TensorBoard) of
+    the first ``profile_steps`` steps — the --profile_dir CLI flag.
+
+    Observability: a structured JSONL stream (utils/metrics.MetricsLogger)
+    lands next to the checkpoints (workspace.voc_metrics) with one record
+    per epoch and per checkpoint — the machine-readable counterpart of the
+    reference's carriage-return counters (train_wavernn.py:155-156) and
+    log.txt line (161).
 
     Throughput-critical detail: the loop never syncs the host on a per-step
     basis — metrics accumulate as lazy device scalars and the step counter
     for checkpoint scheduling is tracked Python-side, so XLA's async
     dispatch pipelines step N+1 while step N executes. Batches are staged
-    on device by a prefetch thread (the reference used 2 DataLoader worker
-    processes, utils/dataset.py:54-60).
+    on device (pre-sharded when a mesh is given) by a prefetch thread (the
+    reference used 2 DataLoader worker processes, utils/dataset.py:54-60).
     """
     import time
 
     from ..data.prefetch import prefetch
+    from ..utils.metrics import MetricsLogger, StepTimer, profile_trace
     from .checkpoints import save_checkpoint
 
     lr = cfg.voc_train.lr if lr is None else lr
@@ -120,26 +146,61 @@ def train_loop(cfg: Config, workspace, dataset, state: TrainState,
     checkpoint_every = (cfg.voc_train.checkpoint_every
                         if checkpoint_every is None else checkpoint_every)
 
+    stage = None
+    if mesh is not None:
+        from ..parallel.mesh import replicate, stage_batch
+        state = TrainState(replicate(mesh, state.params),
+                           replicate(mesh, state.opt_state),
+                           replicate(mesh, state.step))
+        stage = lambda b: stage_batch(mesh, b)
+
+    pruner = None
+    if cfg.voc_train.prune:
+        from .pruning import Pruner, wavernn_prune_spec
+        vt = cfg.voc_train
+        pruner = Pruner(wavernn_prune_spec(vt.prune_rnn_input),
+                        vt.prune_start, vt.prune_steps, vt.prune_sparsity,
+                        vt.prune_every, block=vt.prune_block)
+        if int(state.step) > vt.prune_start:  # resume: recompute at step t
+            pruner.restart(state.params, int(state.step))
+
+    metrics_log = MetricsLogger(workspace.voc_metrics)
+    timer = StepTimer()
+    profiler = None
+    if profile_dir is not None:
+        profiler = profile_trace(profile_dir)
+        profiler.__enter__()
+    profile_until = int(state.step) + profile_steps
+
     step = int(state.step)
     while step < total_steps:
         start = time.time()
         running = jnp.zeros((), jnp.float32)     # lazy device accumulators
         nonfinite = jnp.zeros((), jnp.int32)
         i = 0
-        for x, y, m in prefetch(dataset):
+        for x, y, m in prefetch(dataset, stage=stage):
             i += 1
+            masks = (pruner.masks_for_step(state.params, step)
+                     if pruner is not None else None)
             state, metrics = train_step(state, x, y, m, cfg.voc, cfg.dsp, lr,
                                         cfg.voc_train.clip_grad_norm,
-                                        cfg.voc_train.precision)
+                                        cfg.voc_train.precision, masks)
             running = running + metrics["loss"]
             nonfinite = nonfinite + (
                 ~jnp.isfinite(metrics["grad_norm"])).astype(jnp.int32)
             step += 1
+            timer.tick()  # host-side rolling steps/s, no device sync
+            if profiler is not None and step >= profile_until:
+                profiler.__exit__(None, None, None)
+                profiler = None
             if step % checkpoint_every == 0:
                 k_steps = step // 1000
                 save_checkpoint("voc", workspace, state.params,
                                 state.opt_state, step,
                                 name=f"wave_step{k_steps}K", log=log)
+                metrics_log.log(event="checkpoint", step=step,
+                                loss=round(float(metrics["loss"]), 6),
+                                steps_per_s=round(timer.steps_per_sec, 3))
                 if on_checkpoint is not None:
                     on_checkpoint(state)
             if step >= total_steps:
@@ -154,6 +215,11 @@ def train_loop(cfg: Config, workspace, dataset, state: TrainState,
         log(msg)
         with open(workspace.voc_log, "a") as f:
             print(msg, file=f)
+        metrics_log.log(event="epoch", step=step, loss=round(avg, 6),
+                        steps_per_s=round(speed, 3),
+                        nonfinite_grad_steps=n_bad)
         save_checkpoint("voc", workspace, state.params, state.opt_state,
                         step, log=log)
+    if profiler is not None:
+        profiler.__exit__(None, None, None)
     return state
