@@ -213,11 +213,12 @@ def kernel_variants_bench(B: int = 128, T: int = 8192) -> dict:
     2 and 7 ask for these measured numbers in the bench JSON).
 
     Recorded findings from the tuning campaign (v5e, B=128): the sample
-    step is serial-latency/VMEM-traffic bound at ~21 us, so (a) bf16
-    weights ~= f32 weights, (b) bf16 gates are slightly SLOWER (casts
-    outweigh narrow ops), (c) the block-sparse kernel is ~10x slower
-    (column-block matmuls + lane gathers add serial latency; skipped MXU
-    FLOPs were never the bottleneck).
+    step is serial-latency/VMEM-traffic bound, so (a) bf16 weights ~= f32
+    weights, (b) bf16 gates are slightly SLOWER (casts outweigh narrow
+    ops), (c) block sparsity only pays with the gather-free (128,128)
+    schedule — the round-2 (8,128) schedule was 5.4x SLOWER than dense
+    (8-lane gathers serialize on VPU shuffles; skipped MXU FLOPs were
+    never the bottleneck at that granularity).
     """
     import jax
     import jax.numpy as jnp
@@ -225,8 +226,7 @@ def kernel_variants_bench(B: int = 128, T: int = 8192) -> dict:
     from .config import DSPConfig, WaveRNNConfig
     from .models import wavernn as wr
     from .ops.pallas_gen import generate_pallas, generate_pallas_sparse
-    from .train.pruning import (PruneSpec, apply_masks, block_mask_from_matrix,
-                                init_masks)
+    from .train.pruning import PruneSpec, apply_masks, update_masks
 
     dsp = DSPConfig()
     voc = WaveRNNConfig(mode="MOL")
@@ -283,10 +283,10 @@ def kernel_variants_bench(B: int = 128, T: int = 8192) -> dict:
     spec = PruneSpec([(("rnn1", "wi"), 3), (("rnn1", "wh"), 3),
                       (("rnn2", "wi"), 3), (("rnn2", "wh"), 3),
                       (("fc1", "w"), 1), (("fc2", "w"), 1)])
-    masks = init_masks(params, spec)
-    for path, n_splits in spec.entries:
-        masks["/".join(path)] = block_mask_from_matrix(
-            params[path[0]][path[1]], jnp.asarray(0.9375), n_splits)
+    # (128,128) MXU-tile blocks -> the sparse kernel's gather-free
+    # schedule (ragged rows like rnn2.wi's aux tail prune unstructured)
+    masks = update_masks(params, None, jnp.asarray(1.0), spec, t0=0, S=1,
+                         Z=0.9375, block=(128, 128))
     mparams = apply_masks(params, masks, spec)
     out["step_us_dense_masked"] = round(timeit(
         lambda k: generate_pallas(mparams, mels_up, aux, voc, dsp.bits,

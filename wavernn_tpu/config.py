@@ -112,9 +112,25 @@ class WaveRNNTrainConfig:
     # "bfloat16" = mixed-precision core compute (f32 master weights /
     # optimizer / BatchNorm stats); TPU-native extension, not in reference
     precision: str = "float32"
+    # magnitude pruning as a first-class training option (reference
+    # notebooks/Pruning - Scratchpad.ipynb cells 4-6: Pruner with cubic
+    # schedule; demo start=10, steps=20k, target 0.9375). prune_block
+    # (rows, lanes) makes the zero pattern whole-VMEM-tile-aligned so the
+    # block-sparse sample kernel can skip it; None = the notebook's
+    # unstructured masks (dense kernel multiplies the zeros for free).
+    prune: bool = False
+    prune_start: int = 20_000
+    prune_steps: int = 200_000
+    prune_sparsity: float = 0.9375
+    prune_every: int = 500
+    prune_block: Optional[Tuple[int, int]] = (128, 128)
+    prune_rnn_input: bool = True
 
     def __post_init__(self):
         _check_precision(self.precision)
+        if not 0.0 <= self.prune_sparsity < 1.0:
+            raise ValueError(
+                f"prune_sparsity must be in [0, 1), got {self.prune_sparsity}")
 
 
 @dataclass(frozen=True)
@@ -241,6 +257,16 @@ class Config:
             clip_grad_norm=g("voc_clip_grad_norm", 4.0),
             init_weights_path=g("voc_init_weights_path"),
             precision=g("voc_precision", "float32"),
+            prune=g("voc_prune", False),
+            prune_start=g("voc_prune_start", 20_000),
+            prune_steps=g("voc_prune_steps", 200_000),
+            prune_sparsity=g("voc_prune_sparsity", 0.9375),
+            prune_every=g("voc_prune_every", 500),
+            prune_block=(tuple(g("voc_prune_block"))
+                         if g("voc_prune_block") is not None else
+                         (None if g("voc_prune_unstructured", False)
+                          else (128, 128))),
+            prune_rnn_input=g("voc_prune_rnn_input", True),
         )
         tts = TacotronConfig(
             embed_dims=g("tts_embed_dims", 256),

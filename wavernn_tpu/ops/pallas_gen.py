@@ -113,19 +113,27 @@ def _sample_step(logits, u_blk, *, mol: bool, use_prng: bool,
 
 
 SPARSE_BR, SPARSE_BC = 8, 128  # native f32 VMEM tile (sublane x lane)
+SPARSE_BR_MXU = 128            # MXU-tile row blocks: gather-free schedule
 
 
-def _sparse_mm(op, w_ref, rows):
+def _sparse_mm(op, w_ref, rows, br: int = SPARSE_BR):
     """Block-sparse (B, I) @ (I, O) with a mask-specialized static schedule.
 
-    ``w_ref`` holds only the nonzero (8, 128) blocks, packed row-major in
+    ``w_ref`` holds only the nonzero (br, 128) blocks, packed row-major in
     column-block order; ``rows`` (static Python data) lists, per output
-    column block, which input row-blocks are live.  Each column block does
-    one small MXU matmul over just its live contraction rows, gathered from
-    ``op`` by static lane slices — zero blocks cost nothing at runtime.
+    column block, which input row-blocks are live.
+
+    br=128 (the production layout, matching (128,128) block pruning): every
+    live block is one aligned (B,128) lane-slice of ``op`` against one MXU
+    tile of packed weights — no gathers, no relayouts; skipped blocks cost
+    nothing.  This is what makes 93.75% block sparsity ~4x faster than the
+    dense step (round-2's br=8 schedule was 5.4x SLOWER: concatenating
+    8-lane slices per column block serialized on VPU shuffles).
+
+    br=8 remains for matrices whose dims don't tile by 128.
     """
     B = op.shape[0]
-    br, bc = SPARSE_BR, SPARSE_BC
+    bc = SPARSE_BC
     dt = w_ref.dtype
     outs = []
     off = 0
@@ -133,24 +141,34 @@ def _sparse_mm(op, w_ref, rows):
         if not rj:
             outs.append(jnp.zeros((B, bc), jnp.float32))
             continue
-        hg = jnp.concatenate([op[:, r * br:(r + 1) * br] for r in rj], axis=1)
-        outs.append(_dot(hg.astype(dt),
-                         w_ref[off * br:(off + len(rj)) * br, :]))
-        off += len(rj)
+        if br == SPARSE_BR_MXU:
+            acc = None
+            for r in rj:
+                part = _dot(op[:, r * br:(r + 1) * br].astype(dt),
+                            w_ref[off * br:(off + 1) * br, :])
+                acc = part if acc is None else acc + part
+                off += 1
+            outs.append(acc)
+        else:
+            hg = jnp.concatenate([op[:, r * br:(r + 1) * br] for r in rj],
+                                 axis=1)
+            outs.append(_dot(hg.astype(dt),
+                             w_ref[off * br:(off + len(rj)) * br, :]))
+            off += len(rj)
     return jnp.concatenate(outs, axis=1)
 
 
-def _pack_block_sparse(W, max_density: float = 0.5):
+def _pack_block_sparse(W, max_density: float = 0.5, br: int = SPARSE_BR):
     """Host-side packing of a masked weight into (packed_blocks, rows).
 
-    Detects the zero-(8,128)-block pattern of ``W`` (exact: skipped blocks
+    Detects the zero-(br,128)-block pattern of ``W`` (exact: skipped blocks
     contribute exactly 0 to the matmul) and packs the live blocks into one
     dense f32 array. Returns None when the matrix is not block-sparse enough
-    to pay for the gathers, or its shape is not tile-divisible.
+    to pay for the schedule, or its shape is not tile-divisible.
     """
     W = np.asarray(W, np.float32)
     I, O = W.shape
-    br, bc = SPARSE_BR, SPARSE_BC
+    bc = SPARSE_BC
     if I % br or O % bc:
         return None
     keep = np.abs(W).reshape(I // br, br, O // bc, bc).sum(axis=(1, 3)) > 0.0
@@ -179,17 +197,19 @@ def _make_kernel(voc: WaveRNNConfig, bits: int, chunk: int, n_mels: int,
     n_classes = voc.n_classes(bits)
     nr_mix = n_classes // 3 if mol else 0
     C_IN = n_mels + A  # x-independent input-layer columns
-    sparse = dict(sparse) if sparse else {}
     gdtype = gates_dtype  # recurrence/gate compute + state precision
 
+    sparse = {name: (br, rows) for name, br, rows in sparse} if sparse else {}
+
     def mm(op, w_ref, name):
-        rows = sparse.get(name)
-        if rows is None:
+        entry = sparse.get(name)
+        if entry is None:
             # Mosaic requires a 32-bit matmul accumulator; drop to the gate
             # dtype on the way out so the recurrence runs narrow
             out = _dot(op.astype(w_ref.dtype), w_ref[:], jnp.float32)
             return out if gdtype == jnp.float32 else out.astype(gdtype)
-        return _sparse_mm(op, w_ref, rows)
+        br, rows = entry
+        return _sparse_mm(op, w_ref, rows, br)
 
     def kernel(seed_ref,  # SMEM (1,)
                cond_ref,  # (chunk, B, n_mels + 4A)
@@ -370,14 +390,15 @@ def generate_pallas_sparse(params, mels_up, aux, voc: WaveRNNConfig, bits: int,
     Matrices that are not block-sparse (>50% live blocks, e.g. unstructured
     masks) stay dense automatically; fc3 (n_classes columns) always dense.
 
-    Measured reality on v5e (B=128 folds, 93.75% block sparsity): ~7x
-    SLOWER per step than the dense kernel (71.8 vs 10.5 us/step). The
-    sample step is near its MXU+VPU budget already — splitting each state
-    matmul into ~12 column-block matmuls plus 8-lane gathers adds serial
-    latency that dwarfs the skipped FLOPs. Kept as the numerically exact
-    consumer of block masks (and the honest record of why fine-grained
-    sparsity does not pay on TPU at this model size); prefer the dense
-    kernel, which multiplies the zeros for free.
+    Schedule selection per matrix: (128,128)-block patterns (the production
+    (128,128) block pruning from train/pruning.py) get the gather-free MXU
+    schedule — each live block is one aligned lane-slice against one MXU
+    tile, so 93.75% sparsity skips 15/16 of the matmul FLOPs outright.
+    Finer (8,128) patterns fall back to the gathered schedule, which
+    measured SLOWER than dense on v5e (round 2: 57.6 vs 10.7 us/step —
+    concatenating 8-lane slices per column block serializes on VPU
+    shuffles); it remains only as the numerically exact consumer of
+    unstructured/legacy masks.
     """
     R, FC = voc.rnn_dims, voc.fc_dims
     host = {
@@ -393,11 +414,13 @@ def generate_pallas_sparse(params, mels_up, aux, voc: WaveRNNConfig, bits: int,
     }
     sparse_static, sparse_arrays = [], []
     for name, W in host.items():
-        packed_rows = _pack_block_sparse(W)
-        if packed_rows is not None:
-            packed, rows = packed_rows
-            sparse_static.append((name, rows))
-            sparse_arrays.append(jnp.asarray(packed))
+        for br in (SPARSE_BR_MXU, SPARSE_BR):
+            packed_rows = _pack_block_sparse(W, br=br)
+            if packed_rows is not None:
+                packed, rows = packed_rows
+                sparse_static.append((name, br, rows))
+                sparse_arrays.append(jnp.asarray(packed))
+                break
     return _generate_pallas_sparse_jit(
         params, mels_up, aux, voc, bits, key, noise, tuple(sparse_arrays),
         chunk=chunk, compute_dtype=compute_dtype, interpret=interpret,
@@ -483,7 +506,7 @@ def _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise, chunk,
         w_I[0:1].astype(jnp.float32),            # w_Ix (1, R)
         params["I"]["b"][None].astype(jnp.float32),
     ] + _core_weight_casts(params, R, FC, cd, gd)
-    for (name, _), arr in zip(sparse_static, sparse_arrays):
+    for (name, _, _), arr in zip(sparse_static, sparse_arrays):
         weights[_SPARSE_POS[name]] = arr  # packed f32 nonzero blocks
 
     n_grid = T_pad // chunk

@@ -16,7 +16,7 @@ optimization.
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -123,22 +123,48 @@ def init_masks(params, spec: PruneSpec):
             for path, _ in spec.entries}
 
 
-@partial(jax.jit, static_argnames=("spec", "t0", "S", "Z"))
+@partial(jax.jit, static_argnames=("spec", "t0", "S", "Z", "block"))
 def update_masks(params, spec_entries_key, t, spec: PruneSpec, t0: int,
-                 S: int, Z: float):
-    """Recompute all masks at sparsity z(t) (PruneMask.update_mask)."""
+                 S: int, Z: float, block=None):
+    """Recompute all masks at sparsity z(t) (PruneMask.update_mask).
+
+    block=None -> unstructured per-element masks (the notebook's scheme);
+    block=(br, bc) -> TPU-structured whole-block masks
+    (block_mask_from_matrix), which the block-sparse sample kernel can skip.
+    A matrix whose dims don't tile by ``block`` falls back to unstructured.
+    """
     z = sparsity_at(t.astype(jnp.float32), t0, S, Z)
     masks = {}
     for path, n_splits in spec.entries:
-        masks["/".join(path)] = mask_from_matrix(_get(params, path), z,
-                                                 n_splits)
+        W = _get(params, path)
+        h = W.shape[1] // n_splits
+        if block is None or h % block[1] != 0:
+            masks["/".join(path)] = mask_from_matrix(W, z, n_splits)
+            continue
+        # leading block-tile-divisible row slab gets whole-block masks;
+        # any ragged tail rows (e.g. rnn2's 32 aux input rows appended to
+        # its 512 state rows) are pruned unstructured at the same z — the
+        # sample kernel splits such matrices at the same row boundary, so
+        # the slab's pattern still feeds the gather-free sparse schedule
+        k = (W.shape[0] // block[0]) * block[0]
+        if k == 0:
+            masks["/".join(path)] = mask_from_matrix(W, z, n_splits)
+            continue
+        top = block_mask_from_matrix(W[:k], z, n_splits, block)
+        if k < W.shape[0]:
+            rest = mask_from_matrix(W[k:], z, n_splits)
+            top = jnp.concatenate([top, rest], axis=0)
+        masks["/".join(path)] = top
     return masks
 
 
-def apply_masks(params, masks, spec: PruneSpec):
-    """W *= M for every pruned matrix (PruneMask.apply_mask)."""
-    for path, _ in spec.entries:
-        key = "/".join(path)
+def apply_masks(params, masks, spec: Optional[PruneSpec] = None):
+    """W *= M for every pruned matrix (PruneMask.apply_mask).  The mask
+    keys are '/'-joined param paths, so ``spec`` is optional."""
+    keys = (["/".join(p) for p, _ in spec.entries] if spec is not None
+            else sorted(masks))
+    for key in keys:
+        path = tuple(key.split("/"))
         params = _set(params, path, _get(params, path) * masks[key])
     return params
 
@@ -148,12 +174,13 @@ class Pruner:
     ``prune_every`` steps after t0, apply every step after t0."""
 
     def __init__(self, spec: PruneSpec, start_prune: int, prune_steps: int,
-                 target_sparsity: float, prune_every: int = 500):
+                 target_sparsity: float, prune_every: int = 500, block=None):
         self.spec = spec
         self.t0 = start_prune
         self.S = prune_steps
         self.Z = target_sparsity
         self.prune_every = prune_every
+        self.block = tuple(block) if block is not None else None
         self.masks = None
 
     def init(self, params):
@@ -166,16 +193,29 @@ class Pruner:
             self.init(params)
         if t > self.t0 and t % self.prune_every == 0:
             self.masks = update_masks(params, None, jnp.asarray(t), self.spec,
-                                      self.t0, self.S, self.Z)
+                                      self.t0, self.S, self.Z, self.block)
         if t >= self.t0:
             params = apply_masks(params, self.masks, self.spec)
         return params
+
+    def masks_for_step(self, params, t: int):
+        """Mask pytree to hand a jitted train step for step ``t``, or None
+        before pruning starts.  Host-side scheduling (t is the Python-side
+        step mirror), mask recompute on device every ``prune_every``."""
+        if t < self.t0:
+            return None
+        if self.masks is None:
+            self.init(params)
+        if t > self.t0 and t % self.prune_every == 0:
+            self.masks = update_masks(params, None, jnp.asarray(t), self.spec,
+                                      self.t0, self.S, self.Z, self.block)
+        return self.masks
 
     def restart(self, params, t: int):
         """Recompute masks after resuming from a checkpoint
         (Pruner.restart)."""
         self.masks = update_masks(params, None, jnp.asarray(t), self.spec,
-                                  self.t0, self.S, self.Z)
+                                  self.t0, self.S, self.Z, self.block)
         return self.masks
 
     def num_pruned(self) -> int:
