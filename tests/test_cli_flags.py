@@ -28,10 +28,10 @@ def _help(main, argv):
     ("gen_tacotron", ["griffinlim", "--help"], ["--iters"]),
     ("train_wavernn", ["--help"],
      ["--lr", "--batch_size", "--force_train", "--gta", "--force_cpu",
-      "--hp_file"]),
+      "--hp_file", "--prune", "--profile_dir"]),
     ("train_tacotron", ["--help"],
      ["--force_train", "--force_gta", "--force_attn", "--force_cpu",
-      "--hp_file"]),
+      "--hp_file", "--profile_dir"]),
     ("preprocess", ["--help"],
      ["--path", "--extension", "--num_workers", "--force_cpu", "--hp_file"]),
     ("quick_start", ["--help"],

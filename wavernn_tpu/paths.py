@@ -30,6 +30,7 @@ class Workspace:
         self.voc_output = self.base / "model_outputs" / f"{voc_id}.wavernn"
         self.voc_step = self.voc_checkpoints / "step.npy"
         self.voc_log = self.voc_checkpoints / "log.txt"
+        self.voc_metrics = self.voc_checkpoints / "metrics.jsonl"
 
         # tacotron
         self.tts_checkpoints = self.base / "checkpoints" / f"{tts_id}.tacotron"
@@ -38,6 +39,7 @@ class Workspace:
         self.tts_output = self.base / "model_outputs" / f"{tts_id}.tacotron"
         self.tts_step = self.tts_checkpoints / "step.npy"
         self.tts_log = self.tts_checkpoints / "log.txt"
+        self.tts_metrics = self.tts_checkpoints / "metrics.jsonl"
         self.tts_attention = self.tts_checkpoints / "attention"
         self.tts_mel_plot = self.tts_checkpoints / "mel_plots"
 
