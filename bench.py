@@ -104,13 +104,45 @@ def main():
           f"({audio_seconds/dt_lat:.0f}x) for {audio_seconds:.1f}s audio",
           file=sys.stderr)
 
+    # MFU / roofline accounting (VERDICT r2 item 3: make the sustained-vs-
+    # kernel gap visible in the artifact). FLOPs = 2 * (core matmul params)
+    # per GENERATED sample (folds overlap, so generated > useful samples).
+    from wavernn_tpu.ops import polyphase as P
+    core_flops_per_sample = 2.0 * (
+        int(np.prod(params["I"]["w"].shape))
+        + int(np.prod(params["rnn1"]["wi"].shape))
+        + int(np.prod(params["rnn1"]["wh"].shape))
+        + int(np.prod(params["rnn2"]["wi"].shape))
+        + int(np.prod(params["rnn2"]["wh"].shape))
+        + int(np.prod(params["fc1"]["w"].shape))
+        + int(np.prod(params["fc2"]["w"].shape))
+        + int(np.prod(params["fc3"]["w"].shape)))
+    num_folds, _, fold_chunks, _ = P.fold_geometry(
+        frames * dsp.hop_length, voc.target, voc.overlap, dsp.hop_length)
+    generated_per_launch = num_folds * fold_chunks * dsp.hop_length
+    model_flops_per_s = generated_per_launch * core_flops_per_sample / dt
+    _PEAKS = {"TPU v4": 275e12, "TPU v5 lite": 197e12, "TPU v5e": 197e12,
+              "TPU v5": 459e12, "TPU v5p": 459e12, "TPU v6 lite": 918e12,
+              "TPU v6e": 918e12}
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in _PEAKS.items() if kind.startswith(k)), None)
+    print(f"model FLOPs: {model_flops_per_s/1e12:.1f} TFLOP/s sustained "
+          f"({generated_per_launch} generated samples/launch, "
+          f"{core_flops_per_sample/1e6:.2f} MFLOP/sample) on {kind}",
+          file=sys.stderr)
+
     result = {
         "metric": "wavernn_mol_batched_gen_rate_per_chip",
         "value": round(gen_rate_khz, 1),
         "unit": "kHz",
         "vs_baseline": round(gen_rate_khz / 110.25, 2),
         "single_launch_latency_ms": round(dt_lat * 1e3, 1),
+        "model_flops_per_s": round(model_flops_per_s / 1e12, 2),
+        "flops_per_sample_mflop": round(core_flops_per_sample / 1e6, 2),
     }
+    if peak is not None:
+        result["mfu"] = round(model_flops_per_s / peak, 4)
+        result["peak_bf16_tflops_assumed"] = peak / 1e12
     if "parity" not in skip:
         result.update(benchmarks.parity_checks())
     if "variants" not in skip:
@@ -121,6 +153,9 @@ def main():
     if "tts" not in skip:
         result.update(benchmarks.taco_decode_bench())
         result.update(benchmarks.tts_e2e_bench())
+    if "serving" not in skip:
+        result.update(benchmarks.streaming_bench())
+        result.update(benchmarks.batch_serving_bench())
     print(json.dumps(result))
 
 

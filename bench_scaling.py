@@ -144,9 +144,12 @@ def main():
     mels = rng.uniform(0.2, 0.8, (1, dsp.num_mels, args.frames)).astype(np.float32)
     audio_seconds = (args.frames - 1) * dsp.hop_length / dsp.sample_rate
 
+    from wavernn_tpu.parallel import gen_sharded as gs
+
     n_all = len(jax.devices())
     sizes = sorted({1, 2, n_all} & set(range(1, n_all + 1)))
     results = {}
+    shard_stats = {}
     for n in sizes:
         mesh = make_mesh(n_data=n, devices=jax.devices()[:n])
         run = lambda k: generate_sharded(params, mels, voc, dsp,
@@ -162,8 +165,26 @@ def main():
             ts.append(time.perf_counter() - t0)
         dt = float(np.median(ts))
         results[n] = audio_seconds / dt
+        # fold-layout imbalance evidence (crossfade mode has zero mid-loop
+        # communication, so imbalance is THE cross-device efficiency bound)
+        shard_stats[n] = dict(gs.last_stats)
         print(f"{n} device(s): {dt*1e3:.0f} ms -> "
-              f"{results[n]:.1f} audio-s/s", file=sys.stderr)
+              f"{results[n]:.1f} audio-s/s  {gs.last_stats}", file=sys.stderr)
+
+    # partition-overhead gate (VERDICT r2 item 4): the 1-device sharded
+    # path vs the single-program fast path on the same utterance
+    run_fast = lambda k: np.asarray(jnp.sum(wr.generate_fast(
+        params, mels, voc, dsp, jax.random.PRNGKey(k),
+        target=args.target, overlap=args.overlap)))
+    run_fast(0)  # compile
+    ts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        run_fast(i + 1)
+        ts.append(time.perf_counter() - t0)
+    fast_rate = audio_seconds / float(np.median(ts))
+    print(f"generate_fast 1 device: {fast_rate:.1f} audio-s/s "
+          f"(sharded/fast = {results[1]/fast_rate:.2f})", file=sys.stderr)
 
     base = results[1]
     eff = {n: results[n] / (n * base) for n in results}
@@ -176,6 +197,9 @@ def main():
         "platform": jax.devices()[0].platform,
         "per_device": {str(n): round(v, 2) for n, v in results.items()},
         "scaling_efficiency": {str(n): round(e, 3) for n, e in eff.items()},
+        "per_shard_stats": {str(n): s for n, s in shard_stats.items()},
+        "generate_fast_1dev": round(fast_rate, 2),
+        "sharded_over_fast_1dev": round(results[1] / fast_rate, 3),
     }
     if args.sweep:
         out["fold_batch_samples_per_s"] = {

@@ -560,3 +560,121 @@ def tts_e2e_bench(text: str | None = None, steps: int = 1000) -> dict:
             "tts_audio_s": round(audio_s, 2), "tts_e2e_rtf": round(rtf, 1),
             "tts_fast_s": round(t_fast, 3),
             "tts_fast_rtf": round(rtf_fast, 1)}
+
+
+def streaming_bench(chunk_frames_list=(8, 16, 32),
+                    stream_frames: int = 481) -> dict:
+    """Streaming-serving latency on the live backend (VERDICT r2 item 6):
+    first-chunk latency (time from first mel frames in to first audio out)
+    and sustained real-time factor, per chunk_frames — the TPU-first
+    counterpart of the fork's 'realtime+' serving target (hparams.py:58).
+
+    StreamingVocoder is bit-exact vs the offline path (tests/
+    test_streaming.py); this measures what it costs on hardware.
+    """
+    import jax
+
+    from .config import DSPConfig, WaveRNNConfig
+    from .models import wavernn as wr
+    from .streaming import StreamingVocoder
+
+    dsp = DSPConfig()
+    voc = WaveRNNConfig(mode="MOL")
+    params = wr.init_wavernn(jax.random.PRNGKey(1), voc, dsp)
+    rng = np.random.RandomState(0)
+    mel = rng.uniform(0.2, 0.8, (dsp.num_mels, stream_frames)).astype(
+        np.float32)
+
+    out = {}
+    for cf in chunk_frames_list:
+        # compile warmup: run a short stream once (jit caches are global)
+        sv = StreamingVocoder(params, voc, dsp, jax.random.PRNGKey(0),
+                              chunk_frames=cf)
+        sv.feed(mel[:, : cf + 2 * voc.pad + 1])
+        sv.flush()
+
+        # first-chunk latency: feed exactly enough frames to emit the first
+        # block, time until audio comes back on the host
+        sv = StreamingVocoder(params, voc, dsp, jax.random.PRNGKey(1),
+                              chunk_frames=cf)
+        need = cf + voc.pad  # buffer starts with pad left-context frames
+        t0 = time.perf_counter()
+        first = sv.feed(mel[:, :need])
+        t_first = time.perf_counter() - t0
+        assert first.shape[0] >= cf * dsp.hop_length, first.shape
+
+        # sustained: feed the rest of the stream chunk-by-chunk
+        n_sam = first.shape[0]
+        t0 = time.perf_counter()
+        for s in range(need, stream_frames, cf):
+            n_sam += sv.feed(mel[:, s:s + cf]).shape[0]
+        n_sam += sv.flush().shape[0]
+        dt = time.perf_counter() - t0
+        audio_s = (n_sam - first.shape[0]) / dsp.sample_rate
+        out[f"stream_first_chunk_ms_cf{cf}"] = round(t_first * 1e3, 1)
+        out[f"stream_rtf_cf{cf}"] = round(audio_s / dt, 1)
+    _report("streaming", True,
+            " ".join(f"{k}={v}" for k, v in out.items()))
+    return out
+
+
+def batch_serving_bench(n_utt: int = 8, frames: int = 481) -> dict:
+    """Batched multi-utterance serving (VERDICT r2 item 7): vocode
+    ``n_utt`` utterances in ONE generate_multi launch vs the same
+    utterances through sequential generate_fast calls — the TPU build's
+    answer to the reference's one-sentence-at-a-time loop
+    (gen_tacotron.py:142-173).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .config import DSPConfig, WaveRNNConfig
+    from .models import wavernn as wr
+
+    dsp = DSPConfig()
+    voc = WaveRNNConfig(mode="MOL")
+    params = wr.init_wavernn(jax.random.PRNGKey(1), voc, dsp)
+    rng = np.random.RandomState(0)
+    mels = [rng.uniform(0.2, 0.8, (dsp.num_mels, frames)).astype(np.float32)
+            for _ in range(n_utt)]
+    audio_s = n_utt * (frames - 1) * dsp.hop_length / dsp.sample_rate
+
+    def run_multi(k):
+        return wr.generate_multi(params, mels, voc, dsp,
+                                 jax.random.PRNGKey(k))
+
+    def run_seq(k):
+        # same export cost per utterance as generate_multi (full waveform
+        # to host) so the comparison isolates the batching win
+        return [np.asarray(wr.generate_fast(params, m[None], voc, dsp,
+                                            jax.random.PRNGKey(k + i)))
+                for i, m in enumerate(mels)]
+
+    run_multi(0)  # compile
+    ts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        outs = run_multi(i + 1)
+        ts.append(time.perf_counter() - t0)
+    t_multi = float(np.median(ts))
+    assert len(outs) == n_utt and all(np.isfinite(o).all() for o in outs)
+
+    run_seq(100)  # compile
+    ts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        run_seq(200 + 10 * i)
+        ts.append(time.perf_counter() - t0)
+    t_seq = float(np.median(ts))
+
+    out = {
+        "batch8_multi_s": round(t_multi, 3),
+        "batch8_sequential_s": round(t_seq, 3),
+        "batch8_speedup": round(t_seq / t_multi, 2),
+        "batch8_audio_s_per_s": round(audio_s / t_multi, 1),
+        "batch8_per_utt_latency_ms": round(t_multi / n_utt * 1e3, 1),
+    }
+    _report("batch-serving", True,
+            f"{n_utt} utts in one launch: {t_multi*1e3:.0f}ms vs "
+            f"{t_seq*1e3:.0f}ms sequential ({out['batch8_speedup']}x)")
+    return out

@@ -142,13 +142,11 @@ def _sparse_mm(op, w_ref, rows, br: int = SPARSE_BR):
             outs.append(jnp.zeros((B, bc), jnp.float32))
             continue
         if br == SPARSE_BR_MXU:
-            acc = None
-            for r in rj:
-                part = _dot(op[:, r * br:(r + 1) * br].astype(dt),
-                            w_ref[off * br:(off + 1) * br, :])
-                acc = part if acc is None else acc + part
-                off += 1
-            outs.append(acc)
+            hg = jnp.concatenate(
+                [op[:, r * br:(r + 1) * br] for r in rj], axis=1)
+            outs.append(_dot(hg.astype(dt),
+                             w_ref[off * br:(off + len(rj)) * br, :]))
+            off += len(rj)
         else:
             hg = jnp.concatenate([op[:, r * br:(r + 1) * br] for r in rj],
                                  axis=1)
@@ -507,7 +505,10 @@ def _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise, chunk,
         params["I"]["b"][None].astype(jnp.float32),
     ] + _core_weight_casts(params, R, FC, cd, gd)
     for (name, _, _), arr in zip(sparse_static, sparse_arrays):
-        weights[_SPARSE_POS[name]] = arr  # packed f32 nonzero blocks
+        # packed nonzero blocks, cast to the compute dtype like their dense
+        # counterparts (f32 packed weights would put every sparse matmul on
+        # the MXU's slow f32 path)
+        weights[_SPARSE_POS[name]] = arr.astype(cd)
 
     n_grid = T_pad // chunk
 

@@ -145,13 +145,32 @@ def _fused_frame_prep(params, mels, voc, dsp, target, overlap):
     return frames, fold_chunks, geo, phi, wave_len
 
 
-def _crossfade_prog(mesh, voc, bits: int, hop: int, d_lo: int,
-                    fold_chunks: int, use_pallas: bool, n_mels: int,
+def _crossfade_prog(mesh, voc, dsp, target: int, overlap: int,
+                    n_frames: int, use_pallas: bool,
                     interpret: bool = False):
-    """Compiled shard_map program for crossfade-mode fold sharding (cached
-    per static config — rebuilding the jit wrapper per call would
-    recompile on every utterance)."""
+    """ONE compiled program for the whole sharded-crossfade pipeline:
+    pad -> MelResNet (frame rate) -> fold gather -> shard_map(sample
+    kernel over the fold axis) -> equal-power xfade -> trim.
+
+    Cached per static config.  Round 2 ran only the shard_map under jit and
+    did the conditioning prep + xfade EAGERLY — on a remote-tunnel backend
+    that is dozens of per-op dispatches per utterance and cost 3.4x vs the
+    single-program fast path (SCALING_r02 188 vs 641 audio-s/s).
+    """
     from jax.sharding import PartitionSpec as P
+
+    from ..models.wavernn import (_fused_fold_frames, melresnet_apply)
+    from ..ops import polyphase as Po
+
+    bits, n_mels, hop = dsp.bits, dsp.num_mels, dsp.hop_length
+    geo = Po.geometry(voc.upsample_factors, voc.pad)
+    d_lo, K = geo.d_lo, geo.K
+    total_len = n_frames * hop
+    wave_len = (n_frames - 1) * hop
+    num_folds, _, fold_chunks, _ = Po.fold_geometry(total_len, target,
+                                                    overlap, hop)
+    n = mesh.shape["data"]
+    pad_folds = (-num_folds) % n
 
     def shard_fn(params, phi, frames_local, keys_local):
         k = jax.random.fold_in(keys_local[0], jax.lax.axis_index("data"))
@@ -168,13 +187,34 @@ def _crossfade_prog(mesh, voc, bits: int, hop: int, d_lo: int,
                                                   -d_lo, fold_chunks, n_mels)
         return generate_scan(params, mels_up, aux_up, voc, bits, k)
 
-    return jax.jit(jax.shard_map(
+    sharded = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P(), P(None, "data", None), P("data")),
-        out_specs=P("data"), check_vma=False))
+        out_specs=P("data"), check_vma=False)
+
+    @jax.jit
+    def run(params, phi, mels, keys):
+        mels_p = jnp.pad(mels, ((0, 0), (0, 0), (voc.pad, voc.pad)))
+        aux_fr, _ = melresnet_apply(params["upsample"]["resnet"], mels_p,
+                                    training=False)
+        frames, _ = _fused_fold_frames(
+            jnp.swapaxes(mels_p[0], 0, 1), jnp.swapaxes(aux_fr[0], 0, 1),
+            total_len, target, overlap, geo)
+        if pad_folds:  # pad to a shardable fold count (extras discarded)
+            frames = jnp.pad(frames, ((0, 0), (0, pad_folds), (0, 0)))
+        samples = sharded(params, phi, frames, keys)[:num_folds]
+        return F.xfade_and_unfold_jax(samples, overlap)[:wave_len]
+
+    return run
 
 
 _CROSSFADE_CACHE: dict = {}
+
+#: stats of the most recent generate_sharded crossfade call — fold-layout
+#: imbalance evidence for the scaling artifact (SCALING_r03): with zero
+#: mid-loop communication, cross-device efficiency is bounded by how evenly
+#: folds land on shards, which these numbers make checkable.
+last_stats: dict = {}
 
 
 def _crossfade_sharded(params, mels, voc, dsp, key, mesh, target, overlap,
@@ -189,33 +229,52 @@ def _crossfade_sharded(params, mels, voc, dsp, key, mesh, target, overlap,
     the tiny folded frame array is sharded on the fold axis, and each shard
     runs the fused kernel (TPU) or the polyphase scan twin (CPU mesh).
     Per-shard PRNG keys are folded with the shard index so fold noise stays
-    independent across devices.
+    independent across devices.  The whole pipeline is one jit launch per
+    (utterance-length, config) — see _crossfade_prog.
     """
+    import time as _time
+
     import numpy as np
     from jax.sharding import Mesh
-
-    frames, fold_chunks, geo, phi, wave_len = _fused_frame_prep(
-        params, mels, voc, dsp, target, overlap)
-    num_folds = frames.shape[1]
 
     if mesh is None:
         mesh = Mesh(np.asarray(jax.devices()[:1]), ("data",))
     n = mesh.shape["data"]
-    pad_folds = (-num_folds) % n
-    if pad_folds:  # pad to a shardable fold count (extra folds discarded)
-        frames = jnp.pad(frames, ((0, 0), (0, pad_folds), (0, 0)))
+    n_frames = int(mels.shape[-1])
 
-    cache_key = (mesh, voc, dsp.bits, geo.hop, geo.d_lo, geo.K, fold_chunks,
-                 use_pallas, dsp.num_mels, interpret)
+    cache_key = (mesh, voc, dsp, n_frames, target, overlap, use_pallas,
+                 interpret)
     prog = _CROSSFADE_CACHE.get(cache_key)
     if prog is None:
         prog = _CROSSFADE_CACHE.setdefault(cache_key, _crossfade_prog(
-            mesh, voc, dsp.bits, geo.hop, geo.d_lo, fold_chunks,
-            use_pallas, dsp.num_mels, interpret))
+            mesh, voc, dsp, target, overlap, n_frames, use_pallas,
+            interpret))
     keys = jnp.broadcast_to(key, (n,) + key.shape)
-    samples = prog(params, phi, frames, keys)[:num_folds]
-    wav = F.xfade_and_unfold_jax(samples, overlap)[:wave_len]
-    return np.asarray(wav)
+    t0 = _time.perf_counter()
+    wav = np.asarray(prog(params, jnp.asarray(_fused_setup_phi(params, voc)),
+                          mels, keys))
+    from ..ops import polyphase as Po
+    num_folds = Po.fold_geometry(n_frames * dsp.hop_length, target, overlap,
+                                 dsp.hop_length)[0]
+    pad_folds = (-num_folds) % n
+    last_stats.clear()
+    last_stats.update({
+        "wall_s": round(_time.perf_counter() - t0, 4),
+        "num_folds": num_folds,
+        "devices": n,
+        "pad_folds": pad_folds,
+        "folds_per_shard": (num_folds + pad_folds) // n,
+        "fold_imbalance": round(pad_folds / max(num_folds, 1), 4),
+    })
+    return wav
+
+
+def _fused_setup_phi(params, voc):
+    """Polyphase tap table for the current upsampler weights (tiny; the
+    jitted crossfade program takes it as an argument so weight updates
+    don't recompile)."""
+    from ..models.wavernn import _fused_setup
+    return _fused_setup(params, voc)[1]
 
 
 def generate_sharded(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
