@@ -217,15 +217,18 @@ def kernel_variants_bench(B: int = 128, T: int = 8192) -> dict:
     weights, (b) bf16 gates are slightly SLOWER (casts outweigh narrow
     ops), (c) block sparsity only pays with the gather-free (128,128)
     schedule — the round-2 (8,128) schedule was 5.4x SLOWER than dense
-    (8-lane gathers serialize on VPU shuffles; skipped MXU FLOPs were
-    never the bottleneck at that granularity).
+    (8-lane gathers serialize on VPU shuffles), (d) packing must be
+    hoisted out of the per-call path: it reads ~20 MB of weights back to
+    the host (~350 ms over the tunnel, 8x the kernel's runtime), which
+    round 3 initially mis-measured as kernel time.
     """
     import jax
     import jax.numpy as jnp
 
     from .config import DSPConfig, WaveRNNConfig
     from .models import wavernn as wr
-    from .ops.pallas_gen import generate_pallas, generate_pallas_sparse
+    from .ops.pallas_gen import (generate_pallas, generate_pallas_sparse,
+                                 pack_sparse)
     from .train.pruning import PruneSpec, apply_masks, update_masks
 
     dsp = DSPConfig()
@@ -291,9 +294,14 @@ def kernel_variants_bench(B: int = 128, T: int = 8192) -> dict:
     out["step_us_dense_masked"] = round(timeit(
         lambda k: generate_pallas(mparams, mels_up, aux, voc, dsp.bits,
                                   jax.random.PRNGKey(k))), 2)
+    # pack ONCE (how serving uses it: masks freeze after pruning) — packing
+    # reads the weights back to the host, ~350 ms through the tunnel, which
+    # is 8x the kernel's own runtime and not part of the per-call cost
+    packed = pack_sparse(mparams, voc)
     out["step_us_block_sparse"] = round(timeit(
         lambda k: generate_pallas_sparse(mparams, mels_up, aux, voc, dsp.bits,
-                                         jax.random.PRNGKey(k))), 2)
+                                         jax.random.PRNGKey(k),
+                                         packed=packed)), 2)
     # parity: sparse kernel vs dense kernel on masked weights, shared noise
     Tp, Bp = 512, 8
     nr_mix = voc.n_classes(dsp.bits) // 3

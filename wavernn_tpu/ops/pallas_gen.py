@@ -119,40 +119,55 @@ SPARSE_BR_MXU = 128            # MXU-tile row blocks: gather-free schedule
 def _sparse_mm(op, w_ref, rows, br: int = SPARSE_BR):
     """Block-sparse (B, I) @ (I, O) with a mask-specialized static schedule.
 
-    ``w_ref`` holds only the nonzero (br, 128) blocks, packed row-major in
-    column-block order; ``rows`` (static Python data) lists, per output
-    column block, which input row-blocks are live.
+    ``rows`` (static Python data) lists, per output column block, which
+    input row-blocks are live.
 
-    br=128 (the production layout, matching (128,128) block pruning): every
-    live block is one aligned (B,128) lane-slice of ``op`` against one MXU
-    tile of packed weights — no gathers, no relayouts; skipped blocks cost
-    nothing.  This is what makes 93.75% block sparsity ~4x faster than the
-    dense step (round-2's br=8 schedule was 5.4x SLOWER: concatenating
-    8-lane slices per column block serialized on VPU shuffles).
+    br=128 (the production layout, matching (128,128) block pruning):
+    ONE MXU dot for the whole matrix. ``w_ref`` holds the live blocks in a
+    block-layout matrix (128L, 128C) — live block k (row-block r_k, column
+    block j_k) sits at row range [128k, 128k+128) and the column range of
+    j_k's position among the LIVE column blocks; everything else is zero.
+    The kernel concatenates the matching (B, 128) lane-slices of ``op``
+    (aligned vreg moves, no gathers) and issues a single
+    (B, 128L) @ (128L, 128C) dot — two live blocks in the same column
+    block accumulate inside the dot — then statically places the C live
+    output blocks among zeros. At the 93.75% prune target this both skips
+    15/16 of the FLOPs and replaces O/128 small dots per matrix with one,
+    which matters because the serial sample step pays MXU pipeline
+    fill/drain per dot (measured v5e B=128: 5.7-6.1 us/step vs 10.3-10.6
+    dense; round-2's br=8 schedule was 5.4x SLOWER than dense —
+    concatenating 8-lane slices per column block serialized on VPU
+    shuffles).
 
-    br=8 remains for matrices whose dims don't tile by 128.
+    br=8 (legacy ``allow_br8`` path, matrices whose dims don't tile by
+    128): per column block, concatenate the live 8-row slices of ``op``
+    and dot against the packed (8L_j, 128) blocks.
     """
     B = op.shape[0]
     bc = SPARSE_BC
     dt = w_ref.dtype
+    if br == SPARSE_BR_MXU:
+        order = [r for rj in rows for r in rj]          # (j, r) lex order
+        live_j = [j for j, rj in enumerate(rows) if rj]
+        jpos = {j: c for c, j in enumerate(live_j)}
+        hg = jnp.concatenate(
+            [op[:, r * br:(r + 1) * br] for r in order], axis=1)
+        oc = _dot(hg.astype(dt), w_ref[:])              # (B, 128C)
+        return jnp.concatenate(
+            [oc[:, jpos[j] * bc:(jpos[j] + 1) * bc] if j in jpos
+             else jnp.zeros((B, bc), jnp.float32)
+             for j in range(len(rows))], axis=1)
     outs = []
     off = 0
     for rj in rows:
         if not rj:
             outs.append(jnp.zeros((B, bc), jnp.float32))
             continue
-        if br == SPARSE_BR_MXU:
-            hg = jnp.concatenate(
-                [op[:, r * br:(r + 1) * br] for r in rj], axis=1)
-            outs.append(_dot(hg.astype(dt),
-                             w_ref[off * br:(off + len(rj)) * br, :]))
-            off += len(rj)
-        else:
-            hg = jnp.concatenate([op[:, r * br:(r + 1) * br] for r in rj],
-                                 axis=1)
-            outs.append(_dot(hg.astype(dt),
-                             w_ref[off * br:(off + len(rj)) * br, :]))
-            off += len(rj)
+        hg = jnp.concatenate([op[:, r * br:(r + 1) * br] for r in rj],
+                             axis=1)
+        outs.append(_dot(hg.astype(dt),
+                         w_ref[off * br:(off + len(rj)) * br, :]))
+        off += len(rj)
     return jnp.concatenate(outs, axis=1)
 
 
@@ -161,8 +176,11 @@ def _pack_block_sparse(W, max_density: float = 0.5, br: int = SPARSE_BR):
 
     Detects the zero-(br,128)-block pattern of ``W`` (exact: skipped blocks
     contribute exactly 0 to the matmul) and packs the live blocks into one
-    dense f32 array. Returns None when the matrix is not block-sparse enough
-    to pay for the schedule, or its shape is not tile-divisible.
+    dense f32 array laid out for the matching ``_sparse_mm`` schedule:
+    br=128 -> the (128L, 128C) single-dot block-layout matrix; br=8 -> the
+    live (8, 128) blocks stacked row-major in column-block order. Returns
+    None when the matrix is not block-sparse enough to pay for the
+    schedule, or its shape is not tile-divisible.
     """
     W = np.asarray(W, np.float32)
     I, O = W.shape
@@ -174,6 +192,17 @@ def _pack_block_sparse(W, max_density: float = 0.5, br: int = SPARSE_BR):
         return None
     rows = tuple(tuple(int(r) for r in np.where(keep[:, j])[0])
                  for j in range(O // bc))
+    if br == SPARSE_BR_MXU:
+        lives = [(r, j) for j, rj in enumerate(rows) for r in rj]
+        live_j = [j for j, rj in enumerate(rows) if rj]
+        jpos = {j: c for c, j in enumerate(live_j)}
+        L, C = max(len(lives), 1), max(len(live_j), 1)
+        packed = np.zeros((L * br, C * bc), np.float32)
+        for k, (r, j) in enumerate(lives):
+            packed[k * br:(k + 1) * br,
+                   jpos[j] * bc:(jpos[j] + 1) * bc] = (
+                W[r * br:(r + 1) * br, j * bc:(j + 1) * bc])
+        return packed, rows
     parts = [W[r * br:(r + 1) * br, j * bc:(j + 1) * bc]
              for j, rj in enumerate(rows) for r in rj]
     packed = (np.concatenate(parts, axis=0) if parts
@@ -370,33 +399,29 @@ def _generate_pallas_sparse_jit(params, mels_up, aux, voc, bits, key, noise,
                                  sparse_arrays=sparse_arrays)
 
 
-def generate_pallas_sparse(params, mels_up, aux, voc: WaveRNNConfig, bits: int,
-                           key, noise=None, chunk: int = 128,
-                           compute_dtype=jnp.bfloat16,
-                           interpret: bool = False):
-    """Block-sparse sample-loop kernel for pruned models (SURVEY §7 step 8;
-    reference sparse prototype: notebooks/Pruning - Scratchpad.ipynb cells
-    4-5). Mirrors generate_pallas's API and is numerically exact vs the
-    dense kernel on the same (masked) weights.
+def pack_sparse(params, voc: WaveRNNConfig, allow_br8: bool = False):
+    """One-time host-side packing of a masked model's zero-block pattern.
 
-    Weights must already be masked (train/pruning.py, ideally
-    ``block_mask_from_matrix`` so zeros align to (8, 128) VMEM tiles). The
-    zero-block pattern is read from the concrete weights on the host, the
-    live blocks are packed into dense f32 VMEM arrays, and the kernel is
-    specialized to the pattern — it recompiles if the pattern changes, which
-    is the right trade for serving where masks are frozen after pruning.
-    Matrices that are not block-sparse (>50% live blocks, e.g. unstructured
-    masks) stay dense automatically; fc3 (n_classes columns) always dense.
+    Reads every prunable weight back to the host, detects the zero-block
+    structure, and packs the live blocks into dense arrays. Returns an
+    opaque ``(sparse_static, sparse_arrays)`` pair for
+    ``generate_pallas_sparse(..., packed=...)``.
 
-    Schedule selection per matrix: (128,128)-block patterns (the production
-    (128,128) block pruning from train/pruning.py) get the gather-free MXU
-    schedule — each live block is one aligned lane-slice against one MXU
-    tile, so 93.75% sparsity skips 15/16 of the matmul FLOPs outright.
-    Finer (8,128) patterns fall back to the gathered schedule, which
-    measured SLOWER than dense on v5e (round 2: 57.6 vs 10.7 us/step —
-    concatenating 8-lane slices per column block serializes on VPU
-    shuffles); it remains only as the numerically exact consumer of
-    unstructured/legacy masks.
+    Serving MUST call this once after pruning freezes the masks: each pack
+    pulls ~20 MB of device weights to the host (several hundred ms through
+    a remote-execution tunnel — 8x the sparse kernel's own runtime at
+    B=128/T=8192), so per-call repacking would erase the sparsity win.
+
+    Schedule selection per matrix: ONLY (128,128)-block patterns (the
+    production (128,128) block pruning from train/pruning.py) get the
+    gather-free MXU schedule — each live block is one aligned lane-slice
+    against one MXU tile, so 93.75% sparsity skips 15/16 of the matmul
+    FLOPs outright. Everything else — including the ragged aux tails
+    (wi2a/w1a/w2a, 32 rows) — stays DENSE: their FLOPs are trivial, and
+    the finer (8,128) gathered schedule measured 4-5x SLOWER than dense
+    on v5e in rounds 2-3 (concatenating 8-lane slices per column block
+    serializes on VPU lane shuffles). ``allow_br8=True`` re-enables that
+    schedule for numerical tests of legacy fine-grained masks only.
     """
     R, FC = voc.rnn_dims, voc.fc_dims
     host = {
@@ -410,19 +435,47 @@ def generate_pallas_sparse(params, mels_up, aux, voc: WaveRNNConfig, bits: int,
         "w2x": params["fc2"]["w"][:FC],
         "w2a": params["fc2"]["w"][FC:],
     }
+    brs = (SPARSE_BR_MXU, SPARSE_BR) if allow_br8 else (SPARSE_BR_MXU,)
     sparse_static, sparse_arrays = [], []
     for name, W in host.items():
-        for br in (SPARSE_BR_MXU, SPARSE_BR):
+        for br in brs:
             packed_rows = _pack_block_sparse(W, br=br)
             if packed_rows is not None:
                 packed, rows = packed_rows
                 sparse_static.append((name, br, rows))
                 sparse_arrays.append(jnp.asarray(packed))
                 break
+    return tuple(sparse_static), tuple(sparse_arrays)
+
+
+def generate_pallas_sparse(params, mels_up, aux, voc: WaveRNNConfig, bits: int,
+                           key, noise=None, chunk: int = 128,
+                           compute_dtype=jnp.bfloat16,
+                           interpret: bool = False, allow_br8: bool = False,
+                           packed=None):
+    """Block-sparse sample-loop kernel for pruned models (SURVEY §7 step 8;
+    reference sparse prototype: notebooks/Pruning - Scratchpad.ipynb cells
+    4-5). Mirrors generate_pallas's API and is numerically exact vs the
+    dense kernel on the same (masked) weights.
+
+    Weights must already be masked (train/pruning.py with (128,128) blocks
+    so zeros align to MXU tiles). The zero-block pattern is read from the
+    concrete weights on the host (see ``pack_sparse`` — pass ``packed`` to
+    amortize that one-time cost across calls), and the kernel is
+    specialized to the pattern — it recompiles if the pattern changes,
+    which is the right trade for serving where masks are frozen after
+    pruning. Matrices that are not block-sparse (>50% live blocks, e.g.
+    unstructured masks) stay dense automatically; fc3 (n_classes columns)
+    always dense. Measured v5e, B=128: 5.75 us/step vs 10.6 dense (0.54x)
+    at the reference's 93.75% prune target.
+    """
+    if packed is None:
+        packed = pack_sparse(params, voc, allow_br8=allow_br8)
+    sparse_static, sparse_arrays = packed
     return _generate_pallas_sparse_jit(
-        params, mels_up, aux, voc, bits, key, noise, tuple(sparse_arrays),
+        params, mels_up, aux, voc, bits, key, noise, sparse_arrays,
         chunk=chunk, compute_dtype=compute_dtype, interpret=interpret,
-        sparse_static=tuple(sparse_static))
+        sparse_static=sparse_static)
 
 
 def _core_weight_casts(params, R: int, FC: int, cd, gd):
