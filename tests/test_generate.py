@@ -232,3 +232,26 @@ def test_batched_padded_upsample_matches_single(rng):
                                    np.asarray(mu[0]), atol=1e-5)
         np.testing.assert_allclose(np.asarray(au_b[i, :valid]),
                                    np.asarray(au[0]), atol=1e-5)
+
+
+def test_generate_multi_device_out_matches_host(rng):
+    """device_out=True finishes on device (f32 xfade like generate_fast);
+    must match the host-f64 path within float32 tolerance."""
+    voc = _small_cfg("MOL")
+    params = wr.init_wavernn(jax.random.PRNGKey(3), voc, DSP)
+    mels_list = [
+        rng.uniform(0, 1, (DSP.num_mels, f)).astype(np.float32)
+        for f in (30, 45, 24)
+    ]
+    host = wr.generate_multi(params, mels_list, voc, DSP,
+                             jax.random.PRNGKey(0), target=2200, overlap=550,
+                             use_pallas=False)
+    dev = wr.generate_multi(params, mels_list, voc, DSP,
+                            jax.random.PRNGKey(0), target=2200, overlap=550,
+                            use_pallas=False, device_out=True)
+    assert len(dev) == len(host) == 3
+    for h, d in zip(host, dev):
+        d = np.asarray(d)
+        assert d.dtype == np.float32
+        assert d.shape == h.shape
+        np.testing.assert_allclose(d, h.astype(np.float32), atol=2e-4)

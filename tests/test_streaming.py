@@ -118,3 +118,45 @@ def test_streaming_buffer_stays_bounded(rng):
         sv.feed(rng.uniform(0, 1, (DSP.num_mels, 3)))
         assert sv._buf.shape[1] <= bound, (i, sv._buf.shape)
     assert sv.flush().size > 0
+
+
+def test_streaming_device_out_matches_host(rng):
+    """device_out returns per-block device arrays whose concatenation is
+    bit-identical to the host-mode stream (same noise)."""
+    voc = _cfg("MOL")
+    params = wr.init_wavernn(jax.random.PRNGKey(1), voc, DSP)
+    frames = 23
+    mels = rng.uniform(0.2, 0.8, (DSP.num_mels, frames)).astype(np.float32)
+    T = frames * DSP.hop_length
+    noise = _noise(rng, voc, T)
+
+    sv = StreamingVocoder(params, voc, DSP, jax.random.PRNGKey(0),
+                          chunk_frames=7, noise=noise)
+    want = np.concatenate([sv.feed(mels), sv.flush()])
+
+    sv = StreamingVocoder(params, voc, DSP, jax.random.PRNGKey(0),
+                          chunk_frames=7, noise=noise, device_out=True)
+    blocks = sv.feed(mels)
+    assert isinstance(blocks, list)
+    blocks += sv.flush()
+    got = np.concatenate([np.asarray(b) for b in blocks])
+    assert got.shape == want.shape == (T,)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_streaming_device_out_mu_law(rng):
+    """RAW + device_out decodes mu-law on device, matching host mode."""
+    voc = _cfg("RAW")
+    params = wr.init_wavernn(jax.random.PRNGKey(1), voc, DSP)
+    frames = 14
+    mels = rng.uniform(0.2, 0.8, (DSP.num_mels, frames)).astype(np.float32)
+    noise = _noise(rng, voc, frames * DSP.hop_length)
+
+    sv = StreamingVocoder(params, voc, DSP, jax.random.PRNGKey(0),
+                          chunk_frames=7, noise=noise)
+    want = np.concatenate([sv.feed(mels), sv.flush()])
+    sv = StreamingVocoder(params, voc, DSP, jax.random.PRNGKey(0),
+                          chunk_frames=7, noise=noise, device_out=True)
+    got = np.concatenate(
+        [np.asarray(b) for b in sv.feed(mels) + sv.flush()])
+    np.testing.assert_allclose(got, want, atol=1e-6)

@@ -333,12 +333,21 @@ def generate_multi(params, mels_list, voc: WaveRNNConfig, dsp: DSPConfig,
                    key, target: Optional[int] = None,
                    overlap: Optional[int] = None, mu_law: bool = True,
                    use_pallas: bool = True, interpret: bool = False,
-                   noise=None):
+                   noise=None, device_out: bool = False):
     """Serving path: vocode a BATCH of utterances in one sample-loop launch.
 
     Each utterance is folded (fatchord batched-generation semantics); all
     fold batches share the same (target + 2*overlap) length, so they
     concatenate into one kernel batch.  Returns a list of float64 waveforms.
+
+    device_out=True: finish on device — mu-law decode, float32 equal-power
+    xfade/unfold, trim, tail fade (the same post-processing as
+    generate_fast) — and return a list of device float32 arrays, deferring
+    any host transfer to the caller. The folded sample matrix is inflated
+    by 2*overlap/target (+f64 doubling it again on the host path), so
+    serving that exports it to crossfade on the host pays ~4x the final
+    waveform in device->host traffic; keeping the xfade on device is what
+    lets a batched launch actually beat sequential generate_fast calls.
     """
     import numpy as np
 
@@ -404,6 +413,9 @@ def generate_multi(params, mels_list, voc: WaveRNNConfig, dsp: DSPConfig,
         else:
             samples = generate_scan(params, mf, af, voc, dsp.bits, key,
                                     noise=noise)
+    if device_out:
+        return list(_multi_post_jit(samples, tuple(counts), tuple(wave_lens),
+                                    overlap, mu_law, voc, dsp))
     samples = np.asarray(samples, dtype=np.float64)
 
     outs = []
@@ -416,6 +428,30 @@ def generate_multi(params, mels_list, voc: WaveRNNConfig, dsp: DSPConfig,
         wav = native.xfade_and_unfold(y, target, overlap)[:wave_len]
         outs.append(native.tail_fade_inplace(wav, 20 * dsp.hop_length))
     return outs
+
+
+@partial(jax.jit, static_argnames=("counts", "wave_lens", "overlap",
+                                   "mu_law", "voc", "dsp"))
+def _multi_post_jit(samples, counts, wave_lens, overlap: int, mu_law: bool,
+                    voc: WaveRNNConfig, dsp: DSPConfig):
+    """Per-utterance device post-processing for generate_multi: slice the
+    shared fold batch, mu-law decode, float32 xfade/unfold + trim + tail
+    fade (generate_fast semantics, fatchord_version.py:201-264)."""
+    from ..ops import fold as F
+
+    outs = []
+    offset = 0
+    n_fade = 20 * dsp.hop_length
+    fade = jnp.linspace(1.0, 0.0, n_fade)
+    for count, wave_len in zip(counts, wave_lens):
+        y = samples[offset:offset + count]
+        offset += count
+        if mu_law:
+            mu = voc.n_classes(dsp.bits) - 1
+            y = jnp.sign(y) / mu * ((1 + mu) ** jnp.abs(y) - 1)
+        wav = F.xfade_and_unfold_jax(y, overlap)[:wave_len]
+        outs.append(wav.at[-n_fade:].multiply(fade[-min(n_fade, wave_len):]))
+    return tuple(outs)
 
 
 def generate(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,

@@ -51,11 +51,20 @@ class StreamingVocoder:
     sequentially across blocks. Without it, each block draws fresh noise
     from a per-block fold of `key` (still reproducible, but not equal to a
     single offline draw).
+
+    device_out=True: `feed`/`flush` return a LIST of device float32 arrays
+    (one per completed block, possibly empty) instead of one host ndarray,
+    and mu-law decoding runs on device. The default host mode blocks on a
+    device->host readback per block, serializing the stream on transfer
+    round-trips; device mode dispatches block k+1 while block k's audio is
+    still in flight (JAX async dispatch), which is what a serving loop
+    needs to overlap compute with delivery.
     """
 
     def __init__(self, params, voc: WaveRNNConfig, dsp: DSPConfig, key,
                  chunk_frames: int = 24, mu_law: bool = True,
-                 use_pallas: Optional[bool] = None, noise=None):
+                 use_pallas: Optional[bool] = None, noise=None,
+                 device_out: bool = False):
         self.params = params
         self.voc = voc
         self.dsp = dsp
@@ -75,6 +84,7 @@ class StreamingVocoder:
                 f"pick a chunk_frames whose block is not a multiple of "
                 f"128, or pass use_pallas=None/False")
         self._pallas = use_pallas_default(use_pallas) and snapshot_ok
+        self._device_out = device_out
         self._noise = noise
         self._noise_at = 0
         # mel buffer starts with the offline path's left padding
@@ -132,6 +142,12 @@ class StreamingVocoder:
                 self.params, mels_up, aux, voc, dsp.bits, key, noise=noise,
                 init_state=self._state)
         self._block += 1
+        if self._device_out:
+            out = samples[0]
+            if self.mu_law:
+                mu = voc.n_classes(dsp.bits) - 1
+                out = jnp.sign(out) / mu * ((1 + mu) ** jnp.abs(out) - 1)
+            return out
         out = np.asarray(samples[0])
         if self.mu_law:
             mu = voc.n_classes(dsp.bits) - 1
@@ -156,23 +172,28 @@ class StreamingVocoder:
             # left context plus pending frames (bounded, not O(stream))
             self._buf = self._buf[:, self._emitted:]
             self._emitted = 0
+        if self._device_out:
+            return outs
         if outs:
             return np.concatenate(outs)
         return np.zeros((0,), np.float32)
 
     # ------------------------------------------------------------------
 
-    def feed(self, mel_chunk) -> np.ndarray:
-        """Append (n_mels, k) mel frames; return newly-ready samples."""
+    def feed(self, mel_chunk):
+        """Append (n_mels, k) mel frames; return newly-ready samples
+        (host ndarray, or a list of device arrays with device_out)."""
         assert not self._done, "flush() already called"
         mel_chunk = np.asarray(mel_chunk, np.float32)
         self._buf = np.concatenate([self._buf, mel_chunk], axis=1)
         return self._drain()
 
-    def flush(self) -> np.ndarray:
+    def flush(self):
         """Right-pad with `pad` zero frames (offline symmetric padding) and
         emit the remaining audio (the final short block is zero-padded up
-        to chunk_frames and trimmed, so the compiled shape is reused)."""
+        to chunk_frames and trimmed, so the compiled shape is reused).
+        Returns a host ndarray, or a list of device arrays with
+        device_out."""
         assert not self._done, "flush() already called"
         self._done = True
         voc = self.voc
@@ -186,5 +207,8 @@ class StreamingVocoder:
             need = self.chunk_frames + 2 * voc.pad - w.shape[1]
             w = np.pad(w, ((0, 0), (0, need)))
             tail = self._run_block(w)[: rem * self.dsp.hop_length]
-            out = np.concatenate([out, tail])
+            if self._device_out:
+                out = out + [tail]
+            else:
+                out = np.concatenate([out, tail])
         return out
