@@ -152,11 +152,13 @@ def main():
     shard_stats = {}
     for n in sizes:
         mesh = make_mesh(n_data=n, devices=jax.devices()[:n])
-        run = lambda k: generate_sharded(params, mels, voc, dsp,
-                                         jax.random.PRNGKey(k), mesh=mesh,
-                                         target=args.target,
-                                         overlap=args.overlap,
-                                         use_pallas=not args.cpu)
+        # device_out + scalar fence: symmetric with the generate_fast gate
+        # below (neither pays the 5.9 MB wav export, which on the remote
+        # tunnel would otherwise dominate both timings)
+        run = lambda k: np.asarray(jnp.sum(generate_sharded(
+            params, mels, voc, dsp, jax.random.PRNGKey(k), mesh=mesh,
+            target=args.target, overlap=args.overlap,
+            use_pallas=not args.cpu, device_out=True)))
         run(0)  # compile
         ts = []
         for i in range(3):

@@ -218,7 +218,7 @@ last_stats: dict = {}
 
 
 def _crossfade_sharded(params, mels, voc, dsp, key, mesh, target, overlap,
-                       use_pallas, interpret=False):
+                       use_pallas, interpret=False, device_out=False):
     """Crossfade-mode fold sharding with frame-rate conditioning.
 
     Folds are embarrassingly parallel after their overlap warmup, so each
@@ -251,8 +251,12 @@ def _crossfade_sharded(params, mels, voc, dsp, key, mesh, target, overlap,
             interpret))
     keys = jnp.broadcast_to(key, (n,) + key.shape)
     t0 = _time.perf_counter()
-    wav = np.asarray(prog(params, jnp.asarray(_fused_setup_phi(params, voc)),
-                          mels, keys))
+    wav = prog(params, jnp.asarray(_fused_setup_phi(params, voc)), mels, keys)
+    if device_out:
+        # fence compute for the wall_s stat without the bulk export
+        np.asarray(jnp.sum(wav))
+    else:
+        wav = np.asarray(wav)
     from ..ops import polyphase as Po
     num_folds = Po.fold_geometry(n_frames * dsp.hop_length, target, overlap,
                                  dsp.hop_length)[0]
@@ -280,12 +284,15 @@ def _fused_setup_phi(params, voc):
 def generate_sharded(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
                      mesh=None, target: Optional[int] = None,
                      overlap: Optional[int] = None, seam_passes: int = 0,
-                     use_pallas: bool = False, interpret: bool = False):
+                     use_pallas: bool = False, interpret: bool = False,
+                     device_out: bool = False):
     """End-to-end batched generation with folds laid out on the mesh's
     ``data`` axis.  seam_passes=0 -> reference crossfade semantics (fused
     frame-rate conditioning, explicit shard_map, zero mid-loop
     communication); seam_passes>0 -> exact-seam state handoff + hard concat.
     ``interpret`` runs the Pallas paths in interpreter mode (CPU testing).
+    ``device_out`` returns the waveform as a device array (serving defers
+    the host export; see generate_multi).
     """
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -298,7 +305,8 @@ def generate_sharded(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
 
     if seam_passes == 0 and _fused_cond_ok(voc, dsp, target, overlap):
         return _crossfade_sharded(params, mels, voc, dsp, key, mesh, target,
-                                  overlap, use_pallas, interpret)
+                                  overlap, use_pallas, interpret,
+                                  device_out=device_out)
 
     if (seam_passes > 0 and mesh is None and use_pallas
             and _fused_cond_ok(voc, dsp, target, overlap)):
@@ -310,7 +318,8 @@ def generate_sharded(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
         samples, _ = generate_exact_seam_fused(
             params, frames, phi, voc, dsp.bits, key, geo.hop, -geo.d_lo,
             fold_chunks, target, overlap, seam_passes, interpret=interpret)
-        return np.asarray(concat_folds(samples, target, overlap, wave_len))
+        wav = concat_folds(samples, target, overlap, wave_len)
+        return wav if device_out else np.asarray(wav)
 
     wave_len = (mels.shape[-1] - 1) * dsp.hop_length
     mels = jnp.pad(mels, ((0, 0), (0, 0), (voc.pad, voc.pad)))
@@ -334,7 +343,8 @@ def generate_sharded(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
                                          key, target, overlap, seam_passes,
                                          use_pallas=use_pallas,
                                          interpret=interpret)
-        return np.asarray(concat_folds(samples, target, overlap, wave_len))
+        wav = concat_folds(samples, target, overlap, wave_len)
+        return wav if device_out else np.asarray(wav)
 
     if use_pallas:
         from ..ops.pallas_gen import generate_pallas
@@ -344,4 +354,4 @@ def generate_sharded(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
         from ..ops.sample_loop import generate_scan
         samples = generate_scan(params, mels_up, aux, voc, dsp.bits, key)
     wav = F.xfade_and_unfold_jax(samples, overlap)[:wave_len]
-    return np.asarray(wav)
+    return wav if device_out else np.asarray(wav)
