@@ -116,3 +116,51 @@ def test_unpruned_params_fall_back_dense(rng):
         noise=(u_mix, u_s), chunk=50, compute_dtype=jnp.float32,
         interpret=True))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sparse_kernel_br8_legacy_schedule(rng):
+    """The (8,128) gathered schedule (allow_br8 opt-in: slower than dense
+    on silicon, kept as the numerically exact consumer of legacy
+    fine-grained masks) still matches the dense kernel."""
+    voc = _cfg("MOL")
+    params = _block_pruned_params(voc)
+    B, T = 4, 80
+    mels_up, aux = _inputs(rng, voc, B, T)
+    nr_mix = voc.n_classes(DSP.bits) // 3
+    u_mix = jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (T, B, nr_mix)).astype(np.float32))
+    u_s = jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (T, B)).astype(np.float32))
+    want = np.asarray(generate_pallas(params, mels_up, aux, voc, DSP.bits,
+                                      jax.random.PRNGKey(0), noise=(u_mix, u_s),
+                                      chunk=40, compute_dtype=jnp.float32,
+                                      interpret=True))
+    got = np.asarray(generate_pallas_sparse(
+        params, mels_up, aux, voc, DSP.bits, jax.random.PRNGKey(0),
+        noise=(u_mix, u_s), chunk=40, compute_dtype=jnp.float32,
+        interpret=True, allow_br8=True))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_pack_sparse_reused_across_calls(rng):
+    """pack_sparse's one-time packing plugs into generate_pallas_sparse
+    via packed= and gives the same output as implicit per-call packing
+    (serving packs once after pruning freezes the masks)."""
+    from wavernn_tpu.ops.pallas_gen import pack_sparse
+
+    voc = _cfg("MOL")
+    params = _block_pruned_params(voc)
+    B, T = 4, 60
+    mels_up, aux = _inputs(rng, voc, B, T)
+    nr_mix = voc.n_classes(DSP.bits) // 3
+    u_mix = jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (T, B, nr_mix)).astype(np.float32))
+    u_s = jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (T, B)).astype(np.float32))
+    packed = pack_sparse(params, voc, allow_br8=True)
+    assert isinstance(packed, tuple) and len(packed) == 2
+    kw = dict(noise=(u_mix, u_s), chunk=30, compute_dtype=jnp.float32,
+              interpret=True)
+    want = np.asarray(generate_pallas_sparse(
+        params, mels_up, aux, voc, DSP.bits, jax.random.PRNGKey(0),
+        allow_br8=True, **kw))
+    got = np.asarray(generate_pallas_sparse(
+        params, mels_up, aux, voc, DSP.bits, jax.random.PRNGKey(0),
+        packed=packed, **kw))
+    np.testing.assert_array_equal(got, want)
