@@ -164,3 +164,46 @@ def test_pack_sparse_reused_across_calls(rng):
         params, mels_up, aux, voc, DSP.bits, jax.random.PRNGKey(0),
         packed=packed, **kw))
     np.testing.assert_array_equal(got, want)
+
+
+def test_fused_kernel_sparse_matches_dense(rng):
+    """Pruned serving on the PRODUCTION path: generate_fast with
+    sparse_packed (fused-conditioning kernel, per-step matmuls on the
+    single-dot sparse schedule) matches the dense fused path on the same
+    masked weights and injected noise."""
+    from wavernn_tpu.models.wavernn import generate_fast
+    from wavernn_tpu.ops.pallas_gen import pack_sparse
+    from wavernn_tpu.train.pruning import PruneSpec, apply_masks, update_masks
+
+    voc = WaveRNNConfig(mode="RAW", rnn_dims=256, fc_dims=256,
+                        compute_dims=16, res_out_dims=128, res_blocks=1,
+                        pad=2, upsample_factors=(5, 5, 11))
+    dsp = DSPConfig(bits=8)
+    params = wr.init_wavernn(jax.random.PRNGKey(2), voc, dsp)
+    spec = PruneSpec([(("rnn1", "wi"), 3), (("rnn1", "wh"), 3),
+                      (("rnn2", "wi"), 3), (("rnn2", "wh"), 3),
+                      (("fc1", "w"), 1), (("fc2", "w"), 1)])
+    masks = update_masks(params, None, jnp.asarray(1.0), spec, t0=0, S=1,
+                         Z=0.9375, block=(128, 128))
+    mparams = apply_masks(params, masks, spec)
+
+    packed = pack_sparse(mparams, voc)
+    assert packed[0], "expected block-sparse matrices after (128,128) prune"
+
+    frames, target, overlap = 16, 2200, 550
+    mels = rng.uniform(0.2, 0.8, (1, dsp.num_mels, frames)).astype(np.float32)
+    # injected noise spans the fused fold batch: T = fold len, B = folds
+    T_fold = target + 2 * overlap
+    n_folds = 2
+    noise = jnp.asarray(rng.uniform(
+        1e-5, 1 - 1e-5, (T_fold, n_folds, 2 ** dsp.bits)).astype(np.float32))
+
+    kw = dict(target=target, overlap=overlap, mu_law=False, noise=noise,
+              compute_dtype=jnp.float32, interpret=True)
+    want = np.asarray(generate_fast(mparams, mels, voc, dsp,
+                                    jax.random.PRNGKey(0), **kw))
+    got = np.asarray(generate_fast(mparams, mels, voc, dsp,
+                                   jax.random.PRNGKey(0),
+                                   sparse_packed=packed, **kw))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4)

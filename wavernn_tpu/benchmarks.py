@@ -302,6 +302,14 @@ def kernel_variants_bench(B: int = 128, T: int = 8192) -> dict:
         lambda k: generate_pallas_sparse(mparams, mels_up, aux, voc, dsp.bits,
                                          jax.random.PRNGKey(k),
                                          packed=packed)), 2)
+    # pruned serving on the PRODUCTION path: fused-conditioning kernel with
+    # the per-step matmuls on the sparse schedule (upsample is not pruned,
+    # so the frame/phi conditioning from above is reusable)
+    out["step_us_fused_sparse"] = round(timeit(
+        lambda k: generate_pallas_fused(
+            mparams, frames_f, phi, voc, dsp.bits, jax.random.PRNGKey(k),
+            geo.hop, -geo.d_lo, fold_chunks, sparse_static=packed[0],
+            sparse_arrays=packed[1])) * T / Tf, 2)
     # parity: sparse kernel vs dense kernel on masked weights, shared noise
     Tp, Bp = 512, 8
     nr_mix = voc.n_classes(dsp.bits) // 3

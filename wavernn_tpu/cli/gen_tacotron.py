@@ -41,6 +41,9 @@ def main(argv=None):
                       help="force the persistent-weights TPU kernel "
                            "(default: auto — kernel on TPU, scan on CPU)")
     wr_p.add_argument("--no_pallas", dest="pallas", action="store_false")
+    wr_p.add_argument("--sparse", action="store_true",
+                      help="serve a block-pruned vocoder checkpoint through "
+                           "the sparse sample-loop schedule")
     wr_p.add_argument("--fast", action="store_true",
                       help="device-resident serving path (one scalar sync, "
                            "length-bucketed vocoder) instead of the "
@@ -64,9 +67,16 @@ def main(argv=None):
     voc_params, voc_step = None, 0
     batched = True
     target = overlap = None
+    sparse_packed = None
     if args.vocoder == "wavernn":
         voc_weights = args.voc_weights or ws.voc_latest_weights
         voc_params, voc_step = load_voc_weights(voc_weights, cfg)
+        if getattr(args, "sparse", False):
+            from ..ops.pallas_gen import pack_sparse
+            sparse_packed = pack_sparse(voc_params, cfg.voc)
+            if not sparse_packed[0]:
+                print("| --sparse: no (128,128)-block-sparse matrices found "
+                      "in the checkpoint; serving dense")
         batched = (cfg.voc.gen_batched if args.batched is None
                    else args.batched)
         target = cfg.voc.target if args.target is None else args.target
@@ -106,7 +116,8 @@ def main(argv=None):
                 tts_params, voc_params, text, cfg, r,
                 key=jax.random.PRNGKey(i),
                 use_pallas=getattr(args, "pallas", None),
-                target=target, overlap=overlap)
+                target=target, overlap=overlap,
+                sparse_packed=sparse_packed)
             attention = None
         else:
             wav, m, attention = tts_to_wav(
@@ -115,7 +126,8 @@ def main(argv=None):
                 vocoder=args.vocoder,
                 gl_iters=getattr(args, "iters", 32),
                 use_pallas=getattr(args, "pallas", None),
-                target=target, overlap=overlap)
+                target=target, overlap=overlap,
+                sparse_packed=sparse_packed)
 
         if args.vocoder == "griffinlim":
             v_type = "griffinlim"

@@ -33,6 +33,11 @@ def main(argv=None):
                              "(default: auto — kernel on TPU, scan on CPU)")
     parser.add_argument("--no_pallas", dest="pallas", action="store_false",
                         help="force the portable lax.scan sample loop")
+    parser.add_argument("--sparse", action="store_true",
+                        help="serve a block-pruned checkpoint through the "
+                             "sparse sample-loop schedule (weights are "
+                             "packed once at load; matrices that are not "
+                             "block-sparse stay dense)")
     parser.add_argument("--hp_file", default=None)
     parser.add_argument("--force_cpu", "-c", action="store_true")
     args = parser.parse_args(argv)
@@ -50,6 +55,14 @@ def main(argv=None):
     weights = args.weights or ws.voc_latest_weights
     params, step = load_voc_weights(weights, cfg)
 
+    sparse_packed = None
+    if args.sparse:
+        from ..ops.pallas_gen import pack_sparse
+        sparse_packed = pack_sparse(params, cfg.voc)
+        if not sparse_packed[0]:
+            print("| --sparse: no (128,128)-block-sparse matrices found in "
+                  "the checkpoint; serving dense")
+
     simple_table([
         ("Generation Mode", "Batched" if batched else "Unbatched"),
         ("Target Samples", target if batched else "N/A"),
@@ -59,11 +72,13 @@ def main(argv=None):
 
     if args.file:
         gen_from_file(params, args.file, ws.voc_output, batched, target,
-                      overlap, cfg, step=step, use_pallas=args.pallas)
+                      overlap, cfg, step=step, use_pallas=args.pallas,
+                      sparse_packed=sparse_packed)
     else:
         _, test_set = get_vocoder_datasets(ws.data, 1, cfg, train_gta=args.gta)
         gen_testset(params, test_set, samples, batched, target, overlap,
-                    ws.voc_output, cfg, step=step)
+                    ws.voc_output, cfg, step=step,
+                    sparse_packed=sparse_packed)
     print("\nExiting...")
 
 

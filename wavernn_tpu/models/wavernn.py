@@ -239,7 +239,8 @@ def _generate_device(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
                      target: int, overlap: int, mu_law: bool,
                      use_pallas: bool, interpret: bool = False,
                      compute_dtype=jnp.bfloat16, noise=None,
-                     tail_fade: bool = True):
+                     tail_fade: bool = True, sparse_static=(),
+                     sparse_arrays=()):
     """Whole generation pipeline as one XLA program: conditioning ->
     sample loop -> mu-law decode -> equal-power xfade -> tail fade.
 
@@ -270,18 +271,28 @@ def _generate_device(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
                                         key, geo.hop, -geo.d_lo, fold_chunks,
                                         noise=noise,
                                         compute_dtype=compute_dtype,
-                                        interpret=interpret)
+                                        interpret=interpret,
+                                        sparse_static=sparse_static,
+                                        sparse_arrays=sparse_arrays)
     else:
         mels_up, aux, _ = upsample_apply(params["upsample"], mels, voc,
                                          training=False)
         mels_up = F.fold_with_overlap(mels_up, target, overlap)
         aux = F.fold_with_overlap(aux, target, overlap)
         if use_pallas:
-            from ..ops.pallas_gen import generate_pallas
-            samples = generate_pallas(params, mels_up, aux, voc, dsp.bits,
-                                      key, noise=noise,
-                                      compute_dtype=compute_dtype,
-                                      interpret=interpret)
+            from ..ops.pallas_gen import (_generate_pallas_impl,
+                                          generate_pallas)
+            if sparse_static:
+                samples = _generate_pallas_impl(
+                    params, mels_up, aux, voc, dsp.bits, key, noise, 128,
+                    compute_dtype, interpret, with_state=False,
+                    init_state=None, state_snapshot_at=None,
+                    sparse_static=sparse_static, sparse_arrays=sparse_arrays)
+            else:
+                samples = generate_pallas(params, mels_up, aux, voc, dsp.bits,
+                                          key, noise=noise,
+                                          compute_dtype=compute_dtype,
+                                          interpret=interpret)
         else:
             samples = generate_scan(params, mels_up, aux, voc, dsp.bits, key,
                                     noise=noise)
@@ -306,7 +317,7 @@ _generate_device_jit = jax.jit(
     _generate_device,
     static_argnames=("voc", "dsp", "target", "overlap", "mu_law",
                      "use_pallas", "interpret", "compute_dtype",
-                     "tail_fade"))
+                     "tail_fade", "sparse_static"))
 
 
 @partial(jax.jit, static_argnames=("voc",))
@@ -318,15 +329,21 @@ def generate_fast(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
                   target: Optional[int] = None, overlap: Optional[int] = None,
                   mu_law: bool = True, use_pallas: bool = True,
                   interpret: bool = False, compute_dtype=jnp.bfloat16,
-                  noise=None, tail_fade: bool = True):
+                  noise=None, tail_fade: bool = True, sparse_packed=None):
     """Production generation path: one jit-compiled program, float32 xfade
     on-device (vs the reference's host float64 loop). Returns (wave_len,)
-    float32 on device."""
+    float32 on device.
+
+    sparse_packed: (sparse_static, sparse_arrays) from
+    ops.pallas_gen.pack_sparse — serves a block-pruned checkpoint through
+    the sparse sample-loop schedule (pack once after loading weights)."""
     target = voc.target if target is None else target
     overlap = voc.overlap if overlap is None else overlap
+    sparse_static, sparse_arrays = sparse_packed or ((), ())
     return _generate_device_jit(params, jnp.asarray(mels), voc, dsp, key,
                                 target, overlap, mu_law, use_pallas,
-                                interpret, compute_dtype, noise, tail_fade)
+                                interpret, compute_dtype, noise, tail_fade,
+                                sparse_static, sparse_arrays)
 
 
 def generate_multi(params, mels_list, voc: WaveRNNConfig, dsp: DSPConfig,
@@ -457,11 +474,12 @@ def _multi_post_jit(samples, counts, wave_lens, overlap: int, mu_law: bool,
 def generate(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
              batched: bool = True, target: Optional[int] = None,
              overlap: Optional[int] = None, mu_law: bool = True,
-             use_pallas: bool = False, noise=None):
+             use_pallas: bool = False, noise=None, sparse_packed=None):
     """End-to-end utterance generation (fatchord_version.py:169-264).
 
     mels: (1, n_mels, T_frames) normalized mel in [0, 1].
     Returns float64 waveform (wave_len,) with the reference's tail fade-out.
+    sparse_packed: see generate_fast (pruned serving; pallas paths only).
     """
     import numpy as np
 
@@ -490,8 +508,10 @@ def generate(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
         frames, fold_chunks = _fused_fold_frames(
             jnp.swapaxes(mels[0], 0, 1), jnp.swapaxes(aux_fr[0], 0, 1),
             total_len, target, overlap, geo)
+        sp_s, sp_a = sparse_packed or ((), ())
         samples = generate_pallas_fused(params, frames, phi, voc, dsp.bits,
-                                        key, geo.hop, -geo.d_lo, fold_chunks)
+                                        key, geo.hop, -geo.d_lo, fold_chunks,
+                                        sparse_static=sp_s, sparse_arrays=sp_a)
     else:
         mels_up, aux, _ = upsample_apply(params["upsample"], mels, voc,
                                          training=False)
@@ -499,9 +519,14 @@ def generate(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
             mels_up = F.fold_with_overlap(mels_up, target, overlap)
             aux = F.fold_with_overlap(aux, target, overlap)
         if use_pallas:
-            from ..ops.pallas_gen import generate_pallas
-            samples = generate_pallas(params, mels_up, aux, voc, dsp.bits,
-                                      key)
+            from ..ops.pallas_gen import generate_pallas, generate_pallas_sparse
+            if sparse_packed and sparse_packed[0]:
+                samples = generate_pallas_sparse(params, mels_up, aux, voc,
+                                                 dsp.bits, key,
+                                                 packed=sparse_packed)
+            else:
+                samples = generate_pallas(params, mels_up, aux, voc, dsp.bits,
+                                          key)
         else:
             samples = generate_scan(params, mels_up, aux, voc, dsp.bits, key,
                                     noise=noise)

@@ -652,10 +652,18 @@ def _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise, chunk,
 # Fused-conditioning kernel: mel-rate streaming + in-kernel polyphase
 # --------------------------------------------------------------------------
 
+#: position of each per-step sparsifiable weight in the FUSED kernel's flat
+#: weights list (the hoisted per-chunk aux matmuls wi2a/w1a/w2a stay dense:
+#: they run once per hop-length chunk, and their 32-row shapes never tile
+#: by (128,128) anyway)
+_FUSED_SPARSE_POS = {"wi1": 4, "wh1": 5, "wi2x": 8, "wh2": 10,
+                     "w1x": 13, "w2x": 16}
+
+
 def _make_fused_kernel(voc: WaveRNNConfig, bits: int, hop: int, n_mels: int,
                        K: int, aux_tap: int, mol: bool, use_prng: bool,
                        gates_dtype=jnp.float32, with_state: bool = False,
-                       snapshot_at=None):
+                       snapshot_at=None, sparse=None):
     """Sample-loop kernel that upsamples its own conditioning.
 
     Instead of streaming sample-rate (chunk, B, n_mels + 4A) blocks, each
@@ -680,6 +688,8 @@ def _make_fused_kernel(voc: WaveRNNConfig, bits: int, hop: int, n_mels: int,
     n_classes = voc.n_classes(bits)
     nr_mix = n_classes // 3 if mol else 0
     gd = gates_dtype
+
+    sparse = {name: (br, rows) for name, br, rows in sparse} if sparse else {}
 
     def kernel(seed_ref,   # SMEM (1,) scalar prefetch
                phi_ref,    # SMEM (K, hop) polyphase taps
@@ -722,7 +732,10 @@ def _make_fused_kernel(voc: WaveRNNConfig, bits: int, hop: int, n_mels: int,
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, acc_ref.shape, 1)
         cdtype = w_Imel_ref.dtype
 
-        def mmd(op, w_ref):
+        def mmd(op, w_ref, name=None):
+            entry = sparse.get(name) if name is not None else None
+            if entry is not None:
+                return _sparse_mm(op, w_ref, entry[1], entry[0])
             out = _dot(op.astype(w_ref.dtype), w_ref[:], jnp.float32)
             return out if gd == jnp.float32 else out.astype(gd)
 
@@ -754,18 +767,18 @@ def _make_fused_kernel(voc: WaveRNNConfig, bits: int, hop: int, n_mels: int,
                 inp = inp + phi_ref[j, i] * ps[j]
             inp = inp.astype(gd)
 
-            gi1 = mmd(inp, wi1_ref) + bi1_ref[:]
-            gh1 = mmd(h1, wh1_ref) + bh1_ref[:]
+            gi1 = mmd(inp, wi1_ref, "wi1") + bi1_ref[:]
+            gh1 = mmd(h1, wh1_ref, "wh1") + bh1_ref[:]
             h1 = _gates(gi1, gh1, h1)
             xr = inp + h1
 
-            gi2 = mmd(xr, wi2x_ref) + gi2_a
-            gh2 = mmd(h2, wh2_ref) + bh2_ref[:]
+            gi2 = mmd(xr, wi2x_ref, "wi2x") + gi2_a
+            gh2 = mmd(h2, wh2_ref, "wh2") + bh2_ref[:]
             h2 = _gates(gi2, gh2, h2)
             x2 = xr + h2
 
-            hf = jnp.maximum(mmd(x2, w1x_ref) + f1_a, 0.0)
-            hf = jnp.maximum(mmd(hf, w2x_ref) + f2_a, 0.0)
+            hf = jnp.maximum(mmd(x2, w1x_ref, "w1x") + f1_a, 0.0)
+            hf = jnp.maximum(mmd(hf, w2x_ref, "w2x") + f2_a, 0.0)
             logits = _dot(hf.astype(cdtype), w3_ref[:]) + b3_ref[:]
 
             sample = _sample_step(logits,
@@ -788,12 +801,14 @@ def _make_fused_kernel(voc: WaveRNNConfig, bits: int, hop: int, n_mels: int,
 
 @partial(jax.jit,
          static_argnames=("voc", "bits", "hop", "aux_tap", "fold_chunks",
-                          "compute_dtype", "gates_dtype", "interpret"))
+                          "compute_dtype", "gates_dtype", "interpret",
+                          "sparse_static"))
 def generate_pallas_fused(params, frames_folded, phi, voc: WaveRNNConfig,
                           bits: int, key, hop: int, aux_tap: int,
                           fold_chunks: int, noise=None,
                           compute_dtype=jnp.bfloat16,
-                          gates_dtype=jnp.float32, interpret: bool = False):
+                          gates_dtype=jnp.float32, interpret: bool = False,
+                          sparse_static=(), sparse_arrays=()):
     """Persistent-weights sample loop with IN-KERNEL conditioning upsample.
 
     frames_folded: (fold_chunks + K - 1, num_folds, n_mels + 4*aux_dims)
@@ -808,11 +823,17 @@ def generate_pallas_fused(params, frames_folded, phi, voc: WaveRNNConfig,
     materialized path zeroes conditioning beyond the utterance where this
     path still sees real edge frames — all such samples fall beyond
     wave_len and are discarded by xfade/trim).
+
+    sparse_static/sparse_arrays (from ``pack_sparse``): per-step gate/fc
+    matmuls on (128,128)-block-pruned weights run the single-dot sparse
+    schedule — pruned serving on the PRODUCTION path.
     """
     return _fused_impl(params, frames_folded, phi, voc, bits, key, hop,
                        aux_tap, fold_chunks, noise, compute_dtype,
                        gates_dtype, interpret, with_state=False,
-                       init_state=None, state_snapshot_at=None)
+                       init_state=None, state_snapshot_at=None,
+                       sparse_static=sparse_static,
+                       sparse_arrays=sparse_arrays)
 
 
 @partial(jax.jit,
@@ -841,7 +862,8 @@ def generate_pallas_fused_with_state(params, frames_folded, phi,
 
 def _fused_impl(params, frames_folded, phi, voc, bits, key, hop, aux_tap,
                 fold_chunks, noise, compute_dtype, gates_dtype, interpret,
-                with_state, init_state, state_snapshot_at):
+                with_state, init_state, state_snapshot_at,
+                sparse_static=(), sparse_arrays=()):
     nf_loc, B, C = frames_folded.shape
     K, hop_ = phi.shape
     assert hop_ == hop and nf_loc == fold_chunks + K - 1
@@ -866,6 +888,12 @@ def _fused_impl(params, frames_folded, phi, voc, bits, key, hop, aux_tap,
         w_I[0:1].astype(jnp.float32),            # w_Ix
         params["I"]["b"][None].astype(jnp.float32),
     ] + _core_weight_casts(params, R, FCd, cd, gd)
+    # per-step sparsifiable weights swap in their packed form (the hoisted
+    # per-chunk aux matmuls keep dense weights — see _FUSED_SPARSE_POS)
+    sparse_used = tuple(e for e in sparse_static if e[0] in _FUSED_SPARSE_POS)
+    for (name, _, _), arr in zip(sparse_static, sparse_arrays):
+        if name in _FUSED_SPARSE_POS:
+            weights[_FUSED_SPARSE_POS[name]] = arr.astype(cd)
 
     def const_spec(shape):
         return pl.BlockSpec(shape, lambda t, s: (0,) * len(shape),
@@ -904,7 +932,8 @@ def _fused_impl(params, frames_folded, phi, voc, bits, key, hop, aux_tap,
     )
     if not with_state:
         kernel = _make_fused_kernel(voc, bits, hop, n_mels, K, aux_tap, mol,
-                                    use_prng, gates_dtype=gd)
+                                    use_prng, gates_dtype=gd,
+                                    sparse=sparse_used)
         out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -940,7 +969,8 @@ def _fused_impl(params, frames_folded, phi, voc, bits, key, hop, aux_tap,
     )
     kernel = _make_fused_kernel(voc, bits, hop, n_mels, K, aux_tap, mol,
                                 use_prng, gates_dtype=gd, with_state=True,
-                                snapshot_at=state_snapshot_at)
+                                snapshot_at=state_snapshot_at,
+                                sparse=sparse_used)
     out, s_h1, s_h2, s_x = pl.pallas_call(
         kernel,
         grid_spec=grid_spec_state,

@@ -20,9 +20,11 @@ from .utils.backend import use_pallas_default as _auto_pallas
 
 def gen_testset(params, test_set, samples: int, batched: bool, target: int,
                 overlap: int, save_path: Path, cfg: Config, step: int = 0,
-                key=None, log=print, use_pallas=None):
+                key=None, log=print, use_pallas=None, sparse_packed=None):
     """Copy-synthesis of held-out items (gen_wavernn.py:11-35): saves the
-    decoded ground-truth next to the model output."""
+    decoded ground-truth next to the model output.
+    sparse_packed: one-time ops.pallas_gen.pack_sparse output — serve a
+    block-pruned checkpoint through the sparse kernel schedule."""
     key = key if key is not None else jax.random.PRNGKey(0)
     k = step // 1000
     save_path = Path(save_path)
@@ -43,14 +45,15 @@ def gen_testset(params, test_set, samples: int, batched: bool, target: int,
                           jax.random.fold_in(key, i), batched=batched,
                           target=target, overlap=overlap,
                           mu_law=cfg.dsp.mu_law,
-                          use_pallas=_auto_pallas(use_pallas))
+                          use_pallas=_auto_pallas(use_pallas),
+                          sparse_packed=sparse_packed)
         save_wav(out, save_path / f"{k}k_steps_{i + 1}_{batch_str}.wav",
                  cfg.dsp.sample_rate)
 
 
 def gen_from_file(params, load_path: Path, save_path: Path, batched: bool,
                   target: int, overlap: int, cfg: Config, step: int = 0,
-                  key=None, use_pallas=None):
+                  key=None, use_pallas=None, sparse_packed=None):
     """Vocode a .wav (re-analyzed) or a saved [0,1] mel .npy
     (gen_wavernn.py:38-65)."""
     key = key if key is not None else jax.random.PRNGKey(0)
@@ -80,7 +83,8 @@ def gen_from_file(params, load_path: Path, save_path: Path, batched: bool,
     out = wr.generate(params, mel[None], cfg.voc, cfg.dsp, key,
                       batched=batched, target=target, overlap=overlap,
                       mu_law=cfg.dsp.mu_law,
-                      use_pallas=_auto_pallas(use_pallas))
+                      use_pallas=_auto_pallas(use_pallas),
+                      sparse_packed=sparse_packed)
     save_wav(out, save_path / f"__{file_name}__{k}k_steps_{batch_str}.wav",
              cfg.dsp.sample_rate)
     return out
@@ -89,7 +93,8 @@ def gen_from_file(params, load_path: Path, save_path: Path, batched: bool,
 def tts_to_wav(tts_params, voc_params, text: str, cfg: Config, r: int,
                key=None, batched: bool = True, steps: int = 2000,
                vocoder: str = "wavernn", gl_iters: int = 32,
-               use_pallas=None, target=None, overlap=None):
+               use_pallas=None, target=None, overlap=None,
+               sparse_packed=None):
     """Full text -> waveform (gen_tacotron.py:142-173, quick_start.py:88-120).
 
     Uses the postnet output as the vocoder conditioning (`_, m, attention =
@@ -109,7 +114,8 @@ def tts_to_wav(tts_params, voc_params, text: str, cfg: Config, r: int,
                           overlap=(cfg.voc.overlap if overlap is None
                                    else overlap),
                           mu_law=cfg.dsp.mu_law,
-                          use_pallas=_auto_pallas(use_pallas))
+                          use_pallas=_auto_pallas(use_pallas),
+                          sparse_packed=sparse_packed)
     elif vocoder == "griffinlim":
         from .dsp.griffinlim import reconstruct_waveform
         wav = reconstruct_waveform(m, cfg.dsp, n_iter=gl_iters)
@@ -121,7 +127,8 @@ def tts_to_wav(tts_params, voc_params, text: str, cfg: Config, r: int,
 def tts_to_wav_fast(tts_params, voc_params, text: str, cfg: Config, r: int,
                     key=None, steps: int = 2000,
                     mel_buckets=(256, 512, 1024, 2048),
-                    use_pallas=None, target=None, overlap=None):
+                    use_pallas=None, target=None, overlap=None,
+                    sparse_packed=None):
     """Serving-latency text -> wav: no host round-trip between stages.
 
     `tts_to_wav` mirrors the reference flow (gen_tacotron.py:142-173):
@@ -165,7 +172,7 @@ def tts_to_wav_fast(tts_params, voc_params, text: str, cfg: Config, r: int,
     wav = wr.generate_fast(voc_params, mel01, cfg.voc, cfg.dsp, k_voc,
                            target=target, overlap=overlap,
                            mu_law=cfg.dsp.mu_law, use_pallas=pallas,
-                           tail_fade=False)
+                           tail_fade=False, sparse_packed=sparse_packed)
     wave_valid = max(T_valid - 1, 1) * cfg.dsp.hop_length
     wav = np.array(np.asarray(wav)[:wave_valid])
     # fade the real tail like tts_to_wav / the reference
