@@ -177,7 +177,8 @@ def main():
     # path vs the single-program fast path on the same utterance
     run_fast = lambda k: np.asarray(jnp.sum(wr.generate_fast(
         params, mels, voc, dsp, jax.random.PRNGKey(k),
-        target=args.target, overlap=args.overlap)))
+        target=args.target, overlap=args.overlap,
+        use_pallas=not args.cpu)))
     run_fast(0)  # compile
     ts = []
     for i in range(3):
