@@ -163,3 +163,49 @@ def test_in_kernel_prng_sampling_on_hardware(tpu_backend):
         assert a.std() > 1e-3, mode
         assert not np.allclose(a, b), mode   # key-sensitive
         np.testing.assert_allclose(a, c)     # key-deterministic
+
+
+def test_fused_sparse_kernel_on_hardware(tpu_backend):
+    """Pruned serving on the production path: the fused-conditioning
+    kernel with the single-dot sparse schedule lowers through Mosaic and
+    matches the dense fused kernel on block-pruned weights with shared
+    injected noise."""
+    import jax
+    import jax.numpy as jnp
+
+    from wavernn_tpu.config import DSPConfig, WaveRNNConfig
+    from wavernn_tpu.models import wavernn as wr
+    from wavernn_tpu.ops.pallas_gen import pack_sparse
+    from wavernn_tpu.train.pruning import PruneSpec, apply_masks, update_masks
+
+    voc = WaveRNNConfig(mode="MOL")
+    dsp = DSPConfig()
+    params = wr.init_wavernn(jax.random.PRNGKey(1), voc, dsp)
+    spec = PruneSpec([(("rnn1", "wi"), 3), (("rnn1", "wh"), 3),
+                      (("rnn2", "wi"), 3), (("rnn2", "wh"), 3),
+                      (("fc1", "w"), 1), (("fc2", "w"), 1)])
+    masks = update_masks(params, None, jnp.asarray(1.0), spec, t0=0, S=1,
+                         Z=0.9375, block=(128, 128))
+    mparams = apply_masks(params, masks, spec)
+    packed = pack_sparse(mparams, voc)
+    assert packed[0]
+
+    rng = np.random.RandomState(0)
+    frames = 56  # target=2200/overlap=550 -> small fold batch
+    mels = rng.uniform(0.2, 0.8, (1, dsp.num_mels, frames)).astype(np.float32)
+    T_fold, n_folds = 2200 + 2 * 550, 5
+    nr_mix = voc.n_classes(dsp.bits) // 3
+    noise = (jnp.asarray(rng.uniform(1e-5, 1 - 1e-5,
+                                     (T_fold, n_folds, nr_mix))
+                         .astype(np.float32)),
+             jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (T_fold, n_folds))
+                         .astype(np.float32)))
+    kw = dict(target=2200, overlap=550, noise=noise,
+              compute_dtype=jnp.float32)
+    want = np.asarray(wr.generate_fast(mparams, mels, voc, dsp,
+                                       jax.random.PRNGKey(0), **kw))
+    got = np.asarray(wr.generate_fast(mparams, mels, voc, dsp,
+                                      jax.random.PRNGKey(0),
+                                      sparse_packed=packed, **kw))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=5e-4)
