@@ -255,3 +255,46 @@ def test_generate_multi_device_out_matches_host(rng):
         assert d.dtype == np.float32
         assert d.shape == h.shape
         np.testing.assert_allclose(d, h.astype(np.float32), atol=2e-4)
+
+
+def test_generate_multi_single_program_fused(rng):
+    """device_out + use_pallas: the whole batched pipeline compiles as ONE
+    program (pad -> resnet -> fold gather -> fused kernel -> per-utterance
+    device xfade). Same kernel + key as the eager fused host path, so the
+    waveforms must agree to f32-xfade tolerance."""
+    import jax.numpy as jnp
+
+    from wavernn_tpu.ops import polyphase as P
+
+    voc = _small_cfg("MOL")
+    params = wr.init_wavernn(jax.random.PRNGKey(3), voc, DSP)
+    frames_l = (30, 45, 24)
+    mels_list = [
+        rng.uniform(0, 1, (DSP.num_mels, f)).astype(np.float32)
+        for f in frames_l
+    ]
+    # injected noise over the combined fold batch (in-kernel PRNG is
+    # TPU-only; interpret mode must replay)
+    target, overlap = 2200, 550
+    B_total = sum(P.fold_geometry(f * DSP.hop_length, target, overlap,
+                                  DSP.hop_length)[0] for f in frames_l)
+    T_fold = target + 2 * overlap
+    nr_mix = voc.n_classes(DSP.bits) // 3
+    noise = (jnp.asarray(rng.uniform(1e-5, 1 - 1e-5,
+                                     (T_fold, B_total, nr_mix))
+                         .astype(np.float32)),
+             jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (T_fold, B_total))
+                         .astype(np.float32)))
+    host = wr.generate_multi(params, mels_list, voc, DSP,
+                             jax.random.PRNGKey(0), target=target,
+                             overlap=overlap, use_pallas=True,
+                             interpret=True, noise=noise)
+    dev = wr.generate_multi(params, mels_list, voc, DSP,
+                            jax.random.PRNGKey(0), target=target,
+                            overlap=overlap, use_pallas=True,
+                            interpret=True, noise=noise, device_out=True)
+    assert len(dev) == len(host) == 3
+    for h, d in zip(host, dev):
+        d = np.asarray(d)
+        assert d.shape == h.shape
+        np.testing.assert_allclose(d, h.astype(np.float32), atol=2e-4)

@@ -663,8 +663,12 @@ def batch_serving_bench(n_utt: int = 8, frames: int = 481) -> dict:
     voc = WaveRNNConfig(mode="MOL")
     params = wr.init_wavernn(jax.random.PRNGKey(1), voc, dsp)
     rng = np.random.RandomState(0)
-    mels = [rng.uniform(0.2, 0.8, (dsp.num_mels, frames)).astype(np.float32)
-            for _ in range(n_utt)]
+    # conditioning staged on device for BOTH paths: serving mels arrive
+    # on-device (see bench.py headline note); the remote tunnel's ~3 MB/s
+    # upload would otherwise dominate both timings
+    mels = [jnp.asarray(rng.uniform(0.2, 0.8, (dsp.num_mels, frames))
+                        .astype(np.float32)) for _ in range(n_utt)]
+    np.asarray(jnp.sum(mels[-1]))
     audio_s = n_utt * (frames - 1) * dsp.hop_length / dsp.sample_rate
 
     # Both paths: device-resident output, ONE scalar fence at the end —

@@ -357,14 +357,22 @@ def generate_multi(params, mels_list, voc: WaveRNNConfig, dsp: DSPConfig,
     fold batches share the same (target + 2*overlap) length, so they
     concatenate into one kernel batch.  Returns a list of float64 waveforms.
 
-    device_out=True: finish on device — mu-law decode, float32 equal-power
-    xfade/unfold, trim, tail fade (the same post-processing as
-    generate_fast) — and return a list of device float32 arrays, deferring
-    any host transfer to the caller. The folded sample matrix is inflated
-    by 2*overlap/target (+f64 doubling it again on the host path), so
-    serving that exports it to crossfade on the host pays ~4x the final
-    waveform in device->host traffic; keeping the xfade on device is what
-    lets a batched launch actually beat sequential generate_fast calls.
+    device_out=True: the WHOLE pipeline (per-utterance pad -> batched
+    MelResNet -> per-utterance fold gather -> one fused sample kernel at
+    the combined fold batch -> per-utterance mu-law decode, float32
+    equal-power xfade/unfold, trim, tail fade) runs as ONE jit-compiled
+    program per (lengths, config), taking the mels as device arrays and
+    returning device float32 arrays with any host transfer deferred to
+    the caller. Rationale: the host path exports the folded sample matrix
+    (inflated by 2*overlap/target, x2 again as f64) to crossfade in C++,
+    and an eager device path still pays ~15 host round trips per call in
+    prep stages — either way transport can swamp the batching win. One
+    program + device-resident I/O is what lets a batched launch actually
+    beat sequential generate_fast calls. NOTE: compiles once per distinct
+    tuple of utterance frame counts — bucket lengths upstream if serving
+    traffic has high length variance. Falls back to the eager multi-
+    dispatch path when the fused-conditioning kernel does not apply
+    (non-hop-multiple target/overlap or use_pallas=False).
     """
     import numpy as np
 
@@ -375,6 +383,19 @@ def generate_multi(params, mels_list, voc: WaveRNNConfig, dsp: DSPConfig,
     target = voc.target if target is None else target
     overlap = voc.overlap if overlap is None else overlap
     mu_law = mu_law if voc.mode == "RAW" else False
+
+    if (device_out and use_pallas
+            and _fused_cond_ok(voc, dsp, target, overlap)):
+        frames_t = tuple(int(m.shape[-1]) for m in mels_list)
+        cache_key = (voc, dsp, target, overlap, frames_t, mu_law, interpret)
+        prog = _MULTI_PROG_CACHE.get(cache_key)
+        if prog is None:
+            prog = _MULTI_PROG_CACHE.setdefault(
+                cache_key, _multi_prog(voc, dsp, target, overlap, frames_t,
+                                       mu_law, interpret))
+        mels_d = tuple(jnp.asarray(m)[0] if m.ndim == 3 else jnp.asarray(m)
+                       for m in mels_list)
+        return list(prog(params, key, mels_d, noise))
 
     # One padded frame-rate pass for the whole batch (not a per-utterance
     # dispatch loop): zero-padding an utterance's frames to T_max cannot
@@ -445,6 +466,48 @@ def generate_multi(params, mels_list, voc: WaveRNNConfig, dsp: DSPConfig,
         wav = native.xfade_and_unfold(y, target, overlap)[:wave_len]
         outs.append(native.tail_fade_inplace(wav, 20 * dsp.hop_length))
     return outs
+
+
+_MULTI_PROG_CACHE: dict = {}
+
+
+def _multi_prog(voc: WaveRNNConfig, dsp: DSPConfig, target: int,
+                overlap: int, frames_t, mu_law: bool, interpret: bool):
+    """ONE compiled program for batched multi-utterance serving: pad each
+    utterance to the shared T_max -> batched MelResNet -> per-utterance
+    fold gather -> fused sample kernel at the combined fold batch ->
+    per-utterance device post-processing. Cached per static config in
+    _MULTI_PROG_CACHE (see generate_multi)."""
+    from ..ops.pallas_gen import generate_pallas_fused
+
+    pad, hop = voc.pad, dsp.hop_length
+    T_max = -(-max(frames_t) // 64) * 64
+    wave_lens = tuple((n - 1) * hop for n in frames_t)
+
+    @jax.jit
+    def run(params, key, mels, noise):
+        geo, phi = _fused_setup(params, voc)
+        mels_b = jnp.stack(
+            [jnp.pad(m, ((0, 0), (0, T_max - m.shape[-1]))) for m in mels])
+        mels_b = jnp.pad(mels_b, ((0, 0), (0, 0), (pad, pad)))
+        aux_b, _ = melresnet_apply(params["upsample"]["resnet"], mels_b,
+                                   training=False)
+        frames_list, counts = [], []
+        for i, n_frames in enumerate(frames_t):
+            fr, fold_chunks = _fused_fold_frames(
+                jnp.swapaxes(mels_b[i, :, :n_frames + 2 * pad], 0, 1),
+                jnp.swapaxes(aux_b[i, :, :n_frames], 0, 1),
+                n_frames * hop, target, overlap, geo)
+            frames_list.append(fr)
+            counts.append(fr.shape[1])
+        samples = generate_pallas_fused(
+            params, jnp.concatenate(frames_list, axis=1), phi, voc,
+            dsp.bits, key, geo.hop, -geo.d_lo, fold_chunks, noise=noise,
+            interpret=interpret)
+        return _multi_post_jit(samples, tuple(counts), wave_lens, overlap,
+                               mu_law, voc, dsp)
+
+    return run
 
 
 @partial(jax.jit, static_argnames=("counts", "wave_lens", "overlap",

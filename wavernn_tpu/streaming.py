@@ -33,8 +33,30 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import partial
+
 from .config import DSPConfig, WaveRNNConfig
 from .models.wavernn import upsample_apply
+
+
+@partial(jax.jit, static_argnames=("voc", "bits", "T", "use_pallas"))
+def _stream_block_jit(params, window, key, state, noise, voc: WaveRNNConfig,
+                      bits: int, T: int, use_pallas: bool):
+    """One block = ONE compiled program: window upsample -> sample loop
+    with state I/O. Running the upsampler eagerly (round-3's first cut)
+    dispatched dozens of per-op programs per block, which serialized the
+    stream on per-launch overhead (~150 ms/block on a remote executor vs
+    ~10 ms of device compute at B=1)."""
+    mels_up, aux, _ = upsample_apply(params["upsample"], window[None], voc,
+                                     training=False)
+    if use_pallas:
+        from .ops.pallas_gen import generate_pallas_with_state
+        return generate_pallas_with_state(
+            params, mels_up, aux, voc, bits, key, noise=noise,
+            init_state=state, state_snapshot_at=T)
+    from .ops.sample_loop import generate_scan_with_state
+    return generate_scan_with_state(params, mels_up, aux, voc, bits, key,
+                                    noise=noise, init_state=state)
 
 
 class StreamingVocoder:
@@ -122,25 +144,15 @@ class StreamingVocoder:
         chunk_frames frames, advancing the RNN state."""
         voc, dsp = self.voc, self.dsp
         T = self.chunk_frames * dsp.hop_length
-        mels_up, aux, _ = upsample_apply(self.params["upsample"],
-                                         jnp.asarray(window)[None], voc,
-                                         training=False)
         key, noise = self._take_noise(T)
         if self._state is None:
             R = voc.rnn_dims
             self._state = (jnp.zeros((1, R), jnp.float32),
                            jnp.zeros((1, R), jnp.float32),
                            jnp.zeros((1,), jnp.float32))
-        if self._pallas:
-            from .ops.pallas_gen import generate_pallas_with_state
-            samples, self._state = generate_pallas_with_state(
-                self.params, mels_up, aux, voc, dsp.bits, key, noise=noise,
-                init_state=self._state, state_snapshot_at=T)
-        else:
-            from .ops.sample_loop import generate_scan_with_state
-            samples, self._state = generate_scan_with_state(
-                self.params, mels_up, aux, voc, dsp.bits, key, noise=noise,
-                init_state=self._state)
+        samples, self._state = _stream_block_jit(
+            self.params, jnp.asarray(window), key, self._state, noise, voc,
+            dsp.bits, T, self._pallas)
         self._block += 1
         if self._device_out:
             out = samples[0]
