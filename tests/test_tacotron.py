@@ -156,6 +156,40 @@ def test_generate_batch_matches_single(rng):
                                   key=jax.random.PRNGKey(5))[0]
     np.testing.assert_allclose(batched[0], single[0], atol=1e-5)
 
+
+def test_generate_batch_mixed_lengths_matches_single(rng):
+    """The round-3 hole: a SHORT utterance batched with longer ones must
+    decode identically to running it alone. Unmasked smooth attention
+    (sigmoid/sum over the padded axis) put 67% of a 5-token utterance's
+    attention mass on pad positions; the fix masks the LSA normalization
+    AND makes the encoder length-aware (conv re-zeroing + right-aligned
+    backward GRU), so this asserts exact per-utterance parity."""
+    tts = SMALL
+    params = taco.init_tacotron(jax.random.PRNGKey(0), tts, N_MELS, 148)
+    sentences = [rng.randint(1, 148, (n,)) for n in (5, 15, 9)]
+    key = jax.random.PRNGKey(5)
+    batched = taco.generate_batch(params, sentences, tts, r=2, steps=20,
+                                  key=key)
+    for x, got in zip(sentences, batched):
+        single = taco.generate(params, x, tts, r=2, steps=20, key=key)
+        assert got[0].shape == single[0].shape  # same stop step
+        np.testing.assert_allclose(got[0], single[0], atol=2e-5)  # mel
+        np.testing.assert_allclose(got[1], single[1], atol=2e-5)  # linear
+        np.testing.assert_allclose(got[2], single[2], atol=2e-5)  # attn
+
+
+def test_generate_batch_no_attention_on_padding(rng):
+    """Per-utterance attention rows must renormalize over real text only."""
+    tts = SMALL
+    params = taco.init_tacotron(jax.random.PRNGKey(0), tts, N_MELS, 148)
+    sentences = [rng.randint(1, 148, (n,)) for n in (5, 15)]
+    outs = taco.generate_batch(params, sentences, tts, r=2, steps=12,
+                               key=jax.random.PRNGKey(2))
+    for x, (_, _, attn) in zip(sentences, outs):
+        assert attn.shape[1] == len(x)
+        # mass over the REAL positions is the full budget
+        np.testing.assert_allclose(attn.sum(-1), 1.0, atol=1e-5)
+
 def test_generate_chunked_early_exit_matches_full_scan(rng):
     """Early-exit while_loop decode must be bit-identical to an unchunked
     scan over all groups — including mel/linear beyond the stop step (the

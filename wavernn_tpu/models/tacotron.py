@@ -145,11 +145,24 @@ def _maxpool_k2_s1(x):
     return jnp.maximum(xp[:, :, :-1], xp[:, :, 1:])  # length T, == out[:T]
 
 
-def cbhg_apply(p, x, training: bool):
-    """x: (B, C_in, T) -> (B, T, 2*channels); returns (y, new_params)."""
+def cbhg_apply(p, x, training: bool, lens=None):
+    """x: (B, C_in, T) -> (B, T, 2*channels); returns (y, new_params).
+
+    lens: optional (B,) true sequence lengths for right-padded batches
+    (generation only). Pad positions are re-zeroed at every conv input so
+    each valid position sees exactly the zero padding a solo (unpadded) run
+    would, and the BiGRU runs length-aware (ops/layers.bigru) — valid
+    outputs are then identical to running each row alone. Training keeps
+    the reference's unmasked padded-batch semantics (tacotron.py:55-133).
+    """
     new_p = {k: v for k, v in p.items()}
-    residual = x
     T = x.shape[-1]
+    zmask = None
+    if lens is not None:
+        zmask = (jnp.arange(T)[None, None, :]
+                 < lens[:, None, None]).astype(x.dtype)
+        x = x * zmask
+    residual = x
 
     bank_out, new_bank = [], []
     for blk in p["bank"]:
@@ -163,13 +176,19 @@ def cbhg_apply(p, x, training: bool):
         new_bank.append({"conv": blk["conv"], "bn": nbn})
     new_p["bank"] = new_bank
     h = jnp.concatenate(bank_out, axis=1)
+    if zmask is not None:  # BN(0) != 0: re-zero pads before pool/conv
+        h = h * zmask
 
     h = _maxpool_k2_s1(h)
+    if zmask is not None:
+        h = h * zmask
 
     c = L.conv1d(p["proj1"]["conv"], h, padding=1)
     c = jax.nn.relu(c)
     c, nbn1 = L.batchnorm(p["proj1"]["bn"], c, training)
     new_p["proj1"] = {"conv": p["proj1"]["conv"], "bn": nbn1}
+    if zmask is not None:
+        c = c * zmask
     c = L.conv1d(p["proj2"]["conv"], c, padding=1)
     c, nbn2 = L.batchnorm(p["proj2"]["bn"], c, training)
     new_p["proj2"] = {"conv": p["proj2"]["conv"], "bn": nbn2}
@@ -180,21 +199,38 @@ def cbhg_apply(p, x, training: bool):
         h = L.linear(p["pre_highway"], h)
     for hw in p["highways"]:
         h = highway_apply(hw, h)
-    y = L.bigru(p["rnn_fwd"], p["rnn_bwd"], h)
+    # pad rows entering the BiGRU are garbage (positionwise highways of
+    # BN(0)) but never reach a valid output: the forward scan is causal and
+    # the length-aware backward scan consumes real text first
+    y = L.bigru(p["rnn_fwd"], p["rnn_bwd"], h, lens=lens)
     return y, new_p
 
 
-def encoder_apply(p, x_ids, key, training: bool, dropout: float):
-    """x_ids: (B, T_text) -> (B, T_text, 2*encoder_dims)."""
+def encoder_apply(p, x_ids, key, training: bool, dropout: float, lens=None):
+    """x_ids: (B, T_text) -> (B, T_text, 2*encoder_dims).
+
+    lens: see cbhg_apply — batched generation masks pad positions so each
+    utterance encodes exactly as it would alone."""
     x = L.embedding(p["embedding"], x_ids)
     x = prenet_apply(p["prenet"], x, key, training, dropout)
-    y, new_cbhg = cbhg_apply(p["cbhg"], jnp.swapaxes(x, 1, 2), training)
+    y, new_cbhg = cbhg_apply(p["cbhg"], jnp.swapaxes(x, 1, 2), training,
+                             lens=lens)
     return y, {"embedding": p["embedding"], "prenet": p["prenet"],
                "cbhg": new_cbhg}
 
 
-def lsa_scores(p, encoder_seq_proj, query, cumulative, attention):
+def lsa_scores(p, encoder_seq_proj, query, cumulative, attention,
+               text_mask=None):
     """Location-sensitive smooth attention (tacotron.py:187-205).
+
+    text_mask: optional (B, T_text) 1.0 where real text — batched serving
+    pads sentences to a shared length, and the sigmoid normalization,
+    unlike a softmax with -inf masking, happily assigns pad positions real
+    mass (measured: a 5-token utterance in a [5, 15] batch put 67% of its
+    attention on padding). Training stays unmasked to match the
+    reference's padded batches (tacotron.py:200 normalizes over the full
+    axis); single-utterance generation has no padding. The Pallas decode
+    kernel applies the same mask in-kernel (ops/pallas_taco.py).
 
     Returns scores (B, T_text)."""
     q = L.linear(p["W"], query)[:, None, :]                    # (B,1,d)
@@ -207,6 +243,8 @@ def lsa_scores(p, encoder_seq_proj, query, cumulative, attention):
     # normalize in f32: the smooth-attention weights sum over T_text and a
     # bf16 sum would cost ~2 decimal digits of attention mass
     sig = jax.nn.sigmoid(u.astype(jnp.float32))
+    if text_mask is not None:
+        sig = sig * text_mask
     return (sig / jnp.sum(sig, axis=1, keepdims=True)).astype(u.dtype)
 
 
@@ -238,7 +276,8 @@ def init_decoder_state(batch: int, T_text: int, tts: TacotronConfig,
 def decoder_step(p, encoder_seq, encoder_seq_proj, prenet_in,
                  state: DecoderState, tts: TacotronConfig, r: int,
                  n_mels: int, key, training: bool,
-                 attn_ref: Optional[jnp.ndarray] = None):
+                 attn_ref: Optional[jnp.ndarray] = None,
+                 text_mask: Optional[jnp.ndarray] = None):
     """One decoder group step (tacotron.py:229-286).
 
     Returns (mels (B, n_mels, r), scores (B, T_text), new_state)."""
@@ -249,7 +288,8 @@ def decoder_step(p, encoder_seq, encoder_seq_proj, prenet_in,
     attn_hidden = L.gru_cell(p["attn_rnn"], attn_rnn_in, state.attn_hidden)
 
     scores = lsa_scores(p["attn"], encoder_seq_proj, attn_hidden,
-                        state.cumulative, state.attention)
+                        state.cumulative, state.attention,
+                        text_mask=text_mask)
     attention = scores
     cumulative = state.cumulative + attention.astype(jnp.float32)
 
@@ -395,7 +435,8 @@ def forward(params, x_ids, m, tts: TacotronConfig, r: int, key,
 @partial(jax.jit, static_argnames=("tts", "r", "steps", "n_mels",
                                    "chunk_groups"))
 def _generate_scan(params, x_ids, tts: TacotronConfig, r: int, steps: int,
-                   n_mels: int, key, chunk_groups: int = 32):
+                   n_mels: int, key, chunk_groups: int = 32,
+                   text_lens=None):
     """Free-running decode with chunked early exit.
 
     The reference breaks its Python loop at the stop threshold
@@ -405,6 +446,10 @@ def _generate_scan(params, x_ids, tts: TacotronConfig, r: int, steps: int,
     inside a lax.while_loop that exits once every utterance in the batch
     has stopped — serving latency tracks utterance length at chunk
     granularity while staying a single compiled program.
+
+    text_lens: optional (B,) true text lengths — masks the smooth-attention
+    normalization for pad-to-max batches (see lsa_scores; batched serving
+    MUST pass this or short utterances attend to padding).
     """
     B = x_ids.shape[0]
     n_groups = steps // r
@@ -412,10 +457,14 @@ def _generate_scan(params, x_ids, tts: TacotronConfig, r: int, steps: int,
     n_pad = n_chunks * chunk_groups
     k_enc, k_dec = jax.random.split(key)
     encoder_seq, _ = encoder_apply(params["encoder"], x_ids, k_enc, False,
-                                   tts.dropout)
+                                   tts.dropout, lens=text_lens)
     encoder_seq_proj = L.linear(params["encoder_proj"], encoder_seq)
     state0 = init_decoder_state(B, x_ids.shape[1], tts, n_mels)
     dec = params["decoder"]
+    text_mask = None
+    if text_lens is not None:
+        text_mask = (jnp.arange(x_ids.shape[1])[None, :]
+                     < text_lens[:, None]).astype(jnp.float32)
     # inference consumes no randomness (dropout/zoneout are eval-off, as in
     # the reference's self.eval() generate), keys exist only for API shape
     step_keys = jax.random.split(k_dec, n_pad)
@@ -424,7 +473,7 @@ def _generate_scan(params, x_ids, tts: TacotronConfig, r: int, steps: int,
         state, stopped, t = carry  # stopped: (B,) per-utterance masks
         mels, scores, new_state = decoder_step(
             dec, encoder_seq, encoder_seq_proj, state.prev_frame, state, tts,
-            r, n_mels, k, False)
+            r, n_mels, k, False, text_mask=text_mask)
         # per-utterance stop when every value of its group is silent
         # (tacotron.py:461; the reference is batch=1 — batching generalizes
         # the loop break to a per-element freeze mask)
@@ -471,7 +520,7 @@ def _generate_scan(params, x_ids, tts: TacotronConfig, r: int, steps: int,
     # bit-identical to an unchunked scan over all groups.
     tail_mels, tail_scores, _ = decoder_step(
         dec, encoder_seq, encoder_seq_proj, state_f.prev_frame, state_f,
-        tts, r, n_mels, step_keys[0], False)
+        tts, r, n_mels, step_keys[0], False, text_mask=text_mask)
     fill = (jnp.arange(n_pad) >= c_f * chunk_groups)
     mel_groups = jnp.where(fill[:, None, None, None], tail_mels[None],
                            mel_groups)
@@ -550,16 +599,19 @@ def generate_batch(params, x_ids_list, tts: TacotronConfig, r: int,
     compiled scan (pad-to-max text lengths; per-utterance stop masks).
 
     Returns a list of (mel, linear, attn) numpy triples, each trimmed to
-    its own stop step.
+    its own stop step. Pad-to-max text lengths are masked out of the
+    smooth-attention normalization (lsa_scores text_mask) so a short
+    utterance decodes identically to running it alone.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
     max_len = max(len(x) for x in x_ids_list)
     x = jnp.asarray(np.stack([np.pad(np.asarray(xi), (0, max_len - len(xi)))
                               for xi in x_ids_list]))
+    lens = jnp.asarray([len(xi) for xi in x_ids_list])
     steps = -(-steps // r) * r
     mel, linear, attn, n_valid = _generate_scan(params, x, tts, r, steps,
-                                                n_mels, key)
+                                                n_mels, key, text_lens=lens)
     outs = []
     for b in range(len(x_ids_list)):
         T = min(int(n_valid[b]) * r, steps)

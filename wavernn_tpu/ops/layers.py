@@ -198,11 +198,27 @@ def gru(p, xs, h0=None):
     return jnp.swapaxes(ys, 0, 1), hT
 
 
-def bigru(p_fwd, p_bwd, xs, h0=None):
-    """Bidirectional GRU: concat(fwd, reversed(bwd(reversed(x))))."""
+def bigru(p_fwd, p_bwd, xs, h0=None, lens=None):
+    """Bidirectional GRU: concat(fwd, reversed(bwd(reversed(x)))).
+
+    lens: optional (B,) true sequence lengths for right-padded batches.
+    The forward pass needs nothing (output at t depends on [0..t] only),
+    but a naive flip would make the backward GRU integrate the pad tail
+    before reaching real text. With lens, each row is right-aligned (rolled
+    by T - len) before the flip so the backward GRU consumes the true
+    reversed sequence FIRST from h0 — valid positions then match a solo
+    (unpadded) run exactly; pad positions are garbage the caller masks or
+    ignores."""
     y_f, _ = gru(p_fwd, xs, h0)
-    y_b, _ = gru(p_bwd, xs[:, ::-1, :], h0)
-    return jnp.concatenate([y_f, y_b[:, ::-1, :]], axis=-1)
+    if lens is None:
+        y_b, _ = gru(p_bwd, xs[:, ::-1, :], h0)
+        return jnp.concatenate([y_f, y_b[:, ::-1, :]], axis=-1)
+    T = xs.shape[1]
+    roll_r = jax.vmap(lambda x, s: jnp.roll(x, s, axis=0))
+    xs_b = roll_r(xs, T - lens)[:, ::-1, :]
+    y_b, _ = gru(p_bwd, xs_b, h0)
+    y_b = roll_r(y_b[:, ::-1, :], lens - T)
+    return jnp.concatenate([y_f, y_b], axis=-1)
 
 
 # --------------------------------------------------------------------------
