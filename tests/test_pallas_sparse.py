@@ -166,6 +166,133 @@ def test_pack_sparse_reused_across_calls(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def _mxu_block_pruned(rng, mode="RAW"):
+    """(128,128)-block-pruned full-width model + its packed schedule."""
+    from wavernn_tpu.ops.pallas_gen import pack_sparse
+    from wavernn_tpu.train.pruning import (PruneSpec, apply_masks,
+                                           update_masks)
+
+    voc = WaveRNNConfig(mode=mode, rnn_dims=256, fc_dims=256,
+                        compute_dims=16, res_out_dims=128, res_blocks=1,
+                        pad=2, upsample_factors=(5, 5, 11))
+    dsp = DSPConfig(bits=8)
+    params = wr.init_wavernn(jax.random.PRNGKey(2), voc, dsp)
+    spec = PruneSpec([(("rnn1", "wi"), 3), (("rnn1", "wh"), 3),
+                      (("rnn2", "wi"), 3), (("rnn2", "wh"), 3),
+                      (("fc1", "w"), 1), (("fc2", "w"), 1)])
+    masks = update_masks(params, None, jnp.asarray(1.0), spec, t0=0, S=1,
+                         Z=0.9375, block=(128, 128))
+    mparams = apply_masks(params, masks, spec)
+    packed = pack_sparse(mparams, voc)
+    assert packed[0], "expected block-sparse matrices after (128,128) prune"
+    return mparams, voc, dsp, packed
+
+
+def test_generate_multi_sparse_matches_dense(rng):
+    """Batched serving of a pruned checkpoint: generate_multi with
+    sparse_packed (one fused launch, device_out) matches the dense batched
+    path on the same masked weights — pruned models serve BATCHED, not just
+    single-utterance (VERDICT r3 item 4)."""
+    from wavernn_tpu.models.wavernn import generate_multi
+
+    from wavernn_tpu.ops import polyphase as Po
+
+    mparams, voc, dsp, packed = _mxu_block_pruned(rng)
+    target, overlap = 2200, 550
+    frames = (14, 18)
+    mels = [jnp.asarray(rng.uniform(0.2, 0.8, (dsp.num_mels, f))
+                        .astype(np.float32)) for f in frames]
+    # injected noise spans the CONCATENATED fold batch (interpret mode has
+    # no on-core PRNG on CPU)
+    fold_len = target + 2 * overlap
+    n_folds = sum(Po.fold_geometry(f * dsp.hop_length, target, overlap,
+                                   dsp.hop_length)[0] for f in frames)
+    noise = jnp.asarray(rng.uniform(
+        1e-5, 1 - 1e-5, (fold_len, n_folds, 2 ** dsp.bits))
+        .astype(np.float32))
+    kw = dict(target=target, overlap=overlap, mu_law=False, noise=noise,
+              interpret=True, device_out=True)
+    want = [np.asarray(w) for w in generate_multi(
+        mparams, mels, voc, dsp, jax.random.PRNGKey(0), **kw)]
+    got = [np.asarray(w) for w in generate_multi(
+        mparams, mels, voc, dsp, jax.random.PRNGKey(0),
+        sparse_packed=packed, **kw)]
+    assert len(got) == len(want) == 2
+    for g, w in zip(got, want):
+        assert g.shape == w.shape
+        np.testing.assert_allclose(g, w, atol=2e-4)
+
+
+def test_generate_sharded_sparse_matches_dense(rng):
+    """Sharded serving of a pruned checkpoint: generate_sharded accepts
+    sparse_packed on every path. On CPU meshes the crossfade program's
+    kernel half needs the on-core PRNG (TPU-tier parity in
+    test_tpu_hardware.py); here the scan twin must serve the pruned
+    checkpoint identically with and without the packed schedule, across
+    multiple virtual devices."""
+    import jax as _jax
+    from jax.sharding import Mesh
+    from wavernn_tpu.parallel.gen_sharded import generate_sharded
+
+    mparams, voc, dsp, packed = _mxu_block_pruned(rng)
+    target, overlap = 2200, 550
+    mels = rng.uniform(0.2, 0.8, (1, dsp.num_mels, 16)).astype(np.float32)
+    mesh = Mesh(np.asarray(_jax.devices()[:2]), ("data",))
+    kw = dict(target=target, overlap=overlap, use_pallas=False, mesh=mesh)
+    want = generate_sharded(mparams, mels, voc, dsp, jax.random.PRNGKey(0),
+                            **kw)
+    got = generate_sharded(mparams, mels, voc, dsp, jax.random.PRNGKey(0),
+                           sparse_packed=packed, **kw)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_streaming_sparse_matches_dense(rng):
+    """Streaming a pruned checkpoint: StreamingVocoder with sparse_packed
+    matches the dense stream under the same injected noise (state I/O on
+    the sparse schedule is exact)."""
+    from wavernn_tpu.streaming import StreamingVocoder
+
+    mparams, voc, dsp, packed = _mxu_block_pruned(rng)
+    frames = 16
+    mels = rng.uniform(0.2, 0.8, (dsp.num_mels, frames)).astype(np.float32)
+    T = frames * dsp.hop_length
+    noise = jnp.asarray(rng.uniform(
+        1e-9, 1.0, (T, 1, 2 ** dsp.bits)).astype(np.float32))
+
+    def run(sparse_packed):
+        sv = StreamingVocoder(mparams, voc, dsp, jax.random.PRNGKey(0),
+                              chunk_frames=7, mu_law=False, noise=noise,
+                              use_pallas=None, sparse_packed=sparse_packed)
+        sv._pallas = True  # pallas state-I/O path (interpret shim below)
+        return np.concatenate([sv.feed(mels), sv.flush()])
+
+    # interpret mode: route the pallas state-I/O kernel through interpret
+    import wavernn_tpu.streaming as S
+    real = S._stream_block_jit
+
+    def interp(params, window, key, state, noise, voc_, bits, T_, up,
+               sparse_static=(), sparse_arrays=()):
+        from wavernn_tpu.ops.pallas_gen import generate_pallas_with_state
+        from wavernn_tpu.models.wavernn import upsample_apply
+        w = window if window.ndim == 3 else window[None]
+        mels_up, aux, _ = upsample_apply(params["upsample"], w, voc_,
+                                         training=False)
+        return generate_pallas_with_state(
+            params, mels_up, aux, voc_, bits, key, noise=noise,
+            init_state=state, state_snapshot_at=T_, interpret=True,
+            sparse_static=sparse_static, sparse_arrays=sparse_arrays)
+
+    S._stream_block_jit = interp
+    try:
+        want = run(None)
+        got = run(packed)
+    finally:
+        S._stream_block_jit = real
+    assert got.shape == want.shape == (T,)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
 def test_fused_kernel_sparse_matches_dense(rng):
     """Pruned serving on the PRODUCTION path: generate_fast with
     sparse_packed (fused-conditioning kernel, per-step matmuls on the

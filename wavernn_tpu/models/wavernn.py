@@ -350,7 +350,8 @@ def generate_multi(params, mels_list, voc: WaveRNNConfig, dsp: DSPConfig,
                    key, target: Optional[int] = None,
                    overlap: Optional[int] = None, mu_law: bool = True,
                    use_pallas: bool = True, interpret: bool = False,
-                   noise=None, device_out: bool = False):
+                   noise=None, device_out: bool = False, sparse_packed=None,
+                   tail_fade: bool = True):
     """Serving path: vocode a BATCH of utterances in one sample-loop launch.
 
     Each utterance is folded (fatchord batched-generation semantics); all
@@ -363,7 +364,16 @@ def generate_multi(params, mels_list, voc: WaveRNNConfig, dsp: DSPConfig,
     equal-power xfade/unfold, trim, tail fade) runs as ONE jit-compiled
     program per (lengths, config), taking the mels as device arrays and
     returning device float32 arrays with any host transfer deferred to
-    the caller. Rationale: the host path exports the folded sample matrix
+    the caller.
+
+    sparse_packed: (sparse_static, sparse_arrays) from
+    ops.pallas_gen.pack_sparse — batched serving of a block-pruned
+    checkpoint through the sparse sample-loop schedule (pallas paths).
+
+    tail_fade=False skips the 20*hop end fade: callers that bucket-pad the
+    conditioning (synthesis.tts_to_wav_batch) trim each wav to its true
+    length first and fade there — fading at the bucket boundary would
+    double-attenuate utterances ending near it (see generate_fast). Rationale: the host path exports the folded sample matrix
     (inflated by 2*overlap/target, x2 again as f64) to crossfade in C++,
     and an eager device path still pays ~15 host round trips per call in
     prep stages — either way transport can swamp the batching win. One
@@ -383,19 +393,28 @@ def generate_multi(params, mels_list, voc: WaveRNNConfig, dsp: DSPConfig,
     target = voc.target if target is None else target
     overlap = voc.overlap if overlap is None else overlap
     mu_law = mu_law if voc.mode == "RAW" else False
+    sparse_static, sparse_arrays = sparse_packed or ((), ())
 
     if (device_out and use_pallas
             and _fused_cond_ok(voc, dsp, target, overlap)):
         frames_t = tuple(int(m.shape[-1]) for m in mels_list)
-        cache_key = (voc, dsp, target, overlap, frames_t, mu_law, interpret)
+        cache_key = (voc, dsp, target, overlap, frames_t, mu_law, interpret,
+                     sparse_static, tail_fade)
         prog = _MULTI_PROG_CACHE.get(cache_key)
         if prog is None:
+            while len(_MULTI_PROG_CACHE) >= _MULTI_PROG_CACHE_MAX:
+                # FIFO-evict: unbounded growth would leak one compiled
+                # program per distinct frame-count tuple under high
+                # length-variance traffic (bucket lengths upstream to avoid
+                # recompiles in the first place)
+                _MULTI_PROG_CACHE.pop(next(iter(_MULTI_PROG_CACHE)))
             prog = _MULTI_PROG_CACHE.setdefault(
                 cache_key, _multi_prog(voc, dsp, target, overlap, frames_t,
-                                       mu_law, interpret))
+                                       mu_law, interpret, sparse_static,
+                                       tail_fade))
         mels_d = tuple(jnp.asarray(m)[0] if m.ndim == 3 else jnp.asarray(m)
                        for m in mels_list)
-        return list(prog(params, key, mels_d, noise))
+        return list(prog(params, key, mels_d, noise, sparse_arrays))
 
     # One padded frame-rate pass for the whole batch (not a per-utterance
     # dispatch loop): zero-padding an utterance's frames to T_max cannot
@@ -431,7 +450,8 @@ def generate_multi(params, mels_list, voc: WaveRNNConfig, dsp: DSPConfig,
         samples = generate_pallas_fused(
             params, jnp.concatenate(frames_list, axis=1), phi, voc,
             dsp.bits, key, geo.hop, -geo.d_lo, fold_chunks, noise=noise,
-            interpret=interpret)
+            interpret=interpret, sparse_static=sparse_static,
+            sparse_arrays=sparse_arrays)
     else:
         mu_b, au_b, _ = _upsample_jit(params["upsample"], mels_b, voc)
         fold_m, fold_a, counts = [], [], []
@@ -445,15 +465,22 @@ def generate_multi(params, mels_list, voc: WaveRNNConfig, dsp: DSPConfig,
         mf = jnp.concatenate(fold_m, axis=0)
         af = jnp.concatenate(fold_a, axis=0)
         if use_pallas:
-            from ..ops.pallas_gen import generate_pallas
-            samples = generate_pallas(params, mf, af, voc, dsp.bits, key,
-                                      noise=noise, interpret=interpret)
+            from ..ops.pallas_gen import (_generate_pallas_sparse_jit,
+                                          generate_pallas)
+            if sparse_static:
+                samples = _generate_pallas_sparse_jit(
+                    params, mf, af, voc, dsp.bits, key, noise, sparse_arrays,
+                    chunk=128, compute_dtype=jnp.bfloat16,
+                    interpret=interpret, sparse_static=sparse_static)
+            else:
+                samples = generate_pallas(params, mf, af, voc, dsp.bits, key,
+                                          noise=noise, interpret=interpret)
         else:
             samples = generate_scan(params, mf, af, voc, dsp.bits, key,
                                     noise=noise)
     if device_out:
         return list(_multi_post_jit(samples, tuple(counts), tuple(wave_lens),
-                                    overlap, mu_law, voc, dsp))
+                                    overlap, mu_law, voc, dsp, tail_fade))
     samples = np.asarray(samples, dtype=np.float64)
 
     outs = []
@@ -464,15 +491,18 @@ def generate_multi(params, mels_list, voc: WaveRNNConfig, dsp: DSPConfig,
         if mu_law:
             y = native.decode_mu_law_inplace(y, voc.n_classes(dsp.bits))
         wav = native.xfade_and_unfold(y, target, overlap)[:wave_len]
-        outs.append(native.tail_fade_inplace(wav, 20 * dsp.hop_length))
+        outs.append(native.tail_fade_inplace(wav, 20 * dsp.hop_length)
+                    if tail_fade else wav)
     return outs
 
 
 _MULTI_PROG_CACHE: dict = {}
+_MULTI_PROG_CACHE_MAX = 32
 
 
 def _multi_prog(voc: WaveRNNConfig, dsp: DSPConfig, target: int,
-                overlap: int, frames_t, mu_law: bool, interpret: bool):
+                overlap: int, frames_t, mu_law: bool, interpret: bool,
+                sparse_static=(), tail_fade: bool = True):
     """ONE compiled program for batched multi-utterance serving: pad each
     utterance to the shared T_max -> batched MelResNet -> per-utterance
     fold gather -> fused sample kernel at the combined fold batch ->
@@ -485,7 +515,7 @@ def _multi_prog(voc: WaveRNNConfig, dsp: DSPConfig, target: int,
     wave_lens = tuple((n - 1) * hop for n in frames_t)
 
     @jax.jit
-    def run(params, key, mels, noise):
+    def run(params, key, mels, noise, sparse_arrays):
         geo, phi = _fused_setup(params, voc)
         mels_b = jnp.stack(
             [jnp.pad(m, ((0, 0), (0, T_max - m.shape[-1]))) for m in mels])
@@ -503,17 +533,19 @@ def _multi_prog(voc: WaveRNNConfig, dsp: DSPConfig, target: int,
         samples = generate_pallas_fused(
             params, jnp.concatenate(frames_list, axis=1), phi, voc,
             dsp.bits, key, geo.hop, -geo.d_lo, fold_chunks, noise=noise,
-            interpret=interpret)
+            interpret=interpret, sparse_static=sparse_static,
+            sparse_arrays=sparse_arrays)
         return _multi_post_jit(samples, tuple(counts), wave_lens, overlap,
-                               mu_law, voc, dsp)
+                               mu_law, voc, dsp, tail_fade)
 
     return run
 
 
 @partial(jax.jit, static_argnames=("counts", "wave_lens", "overlap",
-                                   "mu_law", "voc", "dsp"))
+                                   "mu_law", "voc", "dsp", "tail_fade"))
 def _multi_post_jit(samples, counts, wave_lens, overlap: int, mu_law: bool,
-                    voc: WaveRNNConfig, dsp: DSPConfig):
+                    voc: WaveRNNConfig, dsp: DSPConfig,
+                    tail_fade: bool = True):
     """Per-utterance device post-processing for generate_multi: slice the
     shared fold batch, mu-law decode, float32 xfade/unfold + trim + tail
     fade (generate_fast semantics, fatchord_version.py:201-264)."""
@@ -530,7 +562,9 @@ def _multi_post_jit(samples, counts, wave_lens, overlap: int, mu_law: bool,
             mu = voc.n_classes(dsp.bits) - 1
             y = jnp.sign(y) / mu * ((1 + mu) ** jnp.abs(y) - 1)
         wav = F.xfade_and_unfold_jax(y, overlap)[:wave_len]
-        outs.append(wav.at[-n_fade:].multiply(fade[-min(n_fade, wave_len):]))
+        if tail_fade:
+            wav = wav.at[-n_fade:].multiply(fade[-min(n_fade, wave_len):])
+        outs.append(wav)
     return tuple(outs)
 
 

@@ -148,6 +148,8 @@ def _sparse_mm(op, w_ref, rows, br: int = SPARSE_BR):
     dt = w_ref.dtype
     if br == SPARSE_BR_MXU:
         order = [r for rj in rows for r in rj]          # (j, r) lex order
+        if not order:  # fully-pruned matrix: no live blocks, output is 0
+            return jnp.zeros((B, len(rows) * bc), jnp.float32)
         live_j = [j for j, rj in enumerate(rows) if rj]
         jpos = {j: c for c, j in enumerate(live_j)}
         hg = jnp.concatenate(
@@ -236,7 +238,10 @@ def _make_kernel(voc: WaveRNNConfig, bits: int, chunk: int, n_mels: int,
             out = _dot(op.astype(w_ref.dtype), w_ref[:], jnp.float32)
             return out if gdtype == jnp.float32 else out.astype(gdtype)
         br, rows = entry
-        return _sparse_mm(op, w_ref, rows, br)
+        out = _sparse_mm(op, w_ref, rows, br)
+        # same gate-dtype downcast as the dense branch: sparse + bf16 gates
+        # must not store f32 into the narrow recurrence/scratch
+        return out if gdtype == jnp.float32 else out.astype(gdtype)
 
     def kernel(seed_ref,  # SMEM (1,)
                cond_ref,  # (chunk, B, n_mels + 4A)
@@ -346,24 +351,29 @@ def _make_kernel(voc: WaveRNNConfig, bits: int, chunk: int, n_mels: int,
 
 @partial(jax.jit,
          static_argnames=("voc", "bits", "chunk", "compute_dtype", "interpret",
-                          "state_snapshot_at", "gates_dtype"))
+                          "state_snapshot_at", "gates_dtype", "sparse_static"))
 def generate_pallas_with_state(params, mels_up, aux, voc: WaveRNNConfig,
                                bits: int, key, noise=None, chunk: int = 128,
                                compute_dtype=jnp.bfloat16,
                                interpret: bool = False, init_state=None,
                                state_snapshot_at: int = 0,
-                               gates_dtype=jnp.float32):
+                               gates_dtype=jnp.float32,
+                               sparse_static=(), sparse_arrays=()):
     """Sample-loop kernel with RNN-state I/O (exact-seam fold handoff).
 
     init_state: optional (h1, h2, x) with x shape (B,) to resume from.
     Returns (samples (B, T), (snap_h1, snap_h2, snap_x)) where the snapshot
     is the state entering global step ``state_snapshot_at``.
+    sparse_static/sparse_arrays: pack_sparse output — pruned streaming /
+    exact-seam serving on the block-sparse schedule.
     """
     return _generate_pallas_impl(params, mels_up, aux, voc, bits, key, noise,
                                  chunk, compute_dtype, interpret,
                                  with_state=True, init_state=init_state,
                                  state_snapshot_at=state_snapshot_at,
-                                 gates_dtype=gates_dtype)
+                                 gates_dtype=gates_dtype,
+                                 sparse_static=sparse_static,
+                                 sparse_arrays=sparse_arrays)
 
 
 @partial(jax.jit,
@@ -735,8 +745,11 @@ def _make_fused_kernel(voc: WaveRNNConfig, bits: int, hop: int, n_mels: int,
         def mmd(op, w_ref, name=None):
             entry = sparse.get(name) if name is not None else None
             if entry is not None:
-                return _sparse_mm(op, w_ref, entry[1], entry[0])
-            out = _dot(op.astype(w_ref.dtype), w_ref[:], jnp.float32)
+                out = _sparse_mm(op, w_ref, entry[1], entry[0])
+            else:
+                out = _dot(op.astype(w_ref.dtype), w_ref[:], jnp.float32)
+            # shared gate-dtype downcast (sparse included: f32 results must
+            # not leak into the bf16 recurrence)
             return out if gd == jnp.float32 else out.astype(gd)
 
         # ---- per-chunk hoisted conditioning (constant for hop steps) ----

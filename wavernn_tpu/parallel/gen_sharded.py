@@ -147,7 +147,7 @@ def _fused_frame_prep(params, mels, voc, dsp, target, overlap):
 
 def _crossfade_prog(mesh, voc, dsp, target: int, overlap: int,
                     n_frames: int, use_pallas: bool,
-                    interpret: bool = False):
+                    interpret: bool = False, sparse_static=()):
     """ONE compiled program for the whole sharded-crossfade pipeline:
     pad -> MelResNet (frame rate) -> fold gather -> shard_map(sample
     kernel over the fold axis) -> equal-power xfade -> trim.
@@ -172,15 +172,19 @@ def _crossfade_prog(mesh, voc, dsp, target: int, overlap: int,
     n = mesh.shape["data"]
     pad_folds = (-num_folds) % n
 
-    def shard_fn(params, phi, frames_local, keys_local):
+    def shard_fn(params, phi, frames_local, keys_local, sparse_arrays):
         k = jax.random.fold_in(keys_local[0], jax.lax.axis_index("data"))
         if use_pallas:
             from ..ops.pallas_gen import generate_pallas_fused
             return generate_pallas_fused(params, frames_local, phi, voc,
                                          bits, k, hop, -d_lo, fold_chunks,
-                                         interpret=interpret)
+                                         interpret=interpret,
+                                         sparse_static=sparse_static,
+                                         sparse_arrays=sparse_arrays)
         # scan twin (CPU meshes): reconstruct sample-rate conditioning per
         # shard from the frame rows via the same polyphase table + repeat
+        # (sparse_arrays unused — masked dense weights are numerically
+        # identical to the sparse schedule)
         from ..ops.polyphase import reconstruct_from_folded
         from ..ops.sample_loop import generate_scan
         mels_up, aux_up = reconstruct_from_folded(frames_local, phi, hop,
@@ -189,11 +193,11 @@ def _crossfade_prog(mesh, voc, dsp, target: int, overlap: int,
 
     sharded = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(None, "data", None), P("data")),
+        in_specs=(P(), P(), P(None, "data", None), P("data"), P()),
         out_specs=P("data"), check_vma=False)
 
     @jax.jit
-    def run(params, phi, mels, keys):
+    def run(params, phi, mels, keys, sparse_arrays):
         mels_p = jnp.pad(mels, ((0, 0), (0, 0), (voc.pad, voc.pad)))
         aux_fr, _ = melresnet_apply(params["upsample"]["resnet"], mels_p,
                                     training=False)
@@ -202,7 +206,8 @@ def _crossfade_prog(mesh, voc, dsp, target: int, overlap: int,
             total_len, target, overlap, geo)
         if pad_folds:  # pad to a shardable fold count (extras discarded)
             frames = jnp.pad(frames, ((0, 0), (0, pad_folds), (0, 0)))
-        samples = sharded(params, phi, frames, keys)[:num_folds]
+        samples = sharded(params, phi, frames, keys,
+                          sparse_arrays)[:num_folds]
         return F.xfade_and_unfold_jax(samples, overlap)[:wave_len]
 
     return run
@@ -218,7 +223,8 @@ last_stats: dict = {}
 
 
 def _crossfade_sharded(params, mels, voc, dsp, key, mesh, target, overlap,
-                       use_pallas, interpret=False, device_out=False):
+                       use_pallas, interpret=False, device_out=False,
+                       sparse_packed=None):
     """Crossfade-mode fold sharding with frame-rate conditioning.
 
     Folds are embarrassingly parallel after their overlap warmup, so each
@@ -241,17 +247,19 @@ def _crossfade_sharded(params, mels, voc, dsp, key, mesh, target, overlap,
         mesh = Mesh(np.asarray(jax.devices()[:1]), ("data",))
     n = mesh.shape["data"]
     n_frames = int(mels.shape[-1])
+    sparse_static, sparse_arrays = sparse_packed or ((), ())
 
     cache_key = (mesh, voc, dsp, n_frames, target, overlap, use_pallas,
-                 interpret)
+                 interpret, sparse_static)
     prog = _CROSSFADE_CACHE.get(cache_key)
     if prog is None:
         prog = _CROSSFADE_CACHE.setdefault(cache_key, _crossfade_prog(
             mesh, voc, dsp, target, overlap, n_frames, use_pallas,
-            interpret))
+            interpret, sparse_static))
     keys = jnp.broadcast_to(key, (n,) + key.shape)
     t0 = _time.perf_counter()
-    wav = prog(params, jnp.asarray(_fused_setup_phi(params, voc)), mels, keys)
+    wav = prog(params, jnp.asarray(_fused_setup_phi(params, voc)), mels, keys,
+               sparse_arrays)
     if device_out:
         # fence compute for the wall_s stat without the bulk export
         np.asarray(jnp.sum(wav))
@@ -285,7 +293,7 @@ def generate_sharded(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
                      mesh=None, target: Optional[int] = None,
                      overlap: Optional[int] = None, seam_passes: int = 0,
                      use_pallas: bool = False, interpret: bool = False,
-                     device_out: bool = False):
+                     device_out: bool = False, sparse_packed=None):
     """End-to-end batched generation with folds laid out on the mesh's
     ``data`` axis.  seam_passes=0 -> reference crossfade semantics (fused
     frame-rate conditioning, explicit shard_map, zero mid-loop
@@ -293,6 +301,10 @@ def generate_sharded(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
     ``interpret`` runs the Pallas paths in interpreter mode (CPU testing).
     ``device_out`` returns the waveform as a device array (serving defers
     the host export; see generate_multi).
+    ``sparse_packed``: (sparse_static, sparse_arrays) from
+    ops.pallas_gen.pack_sparse — sharded serving of a block-pruned
+    checkpoint (crossfade + materialized pallas paths; exact-seam passes
+    run the masked weights dense, numerically identical).
     """
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -306,7 +318,8 @@ def generate_sharded(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
     if seam_passes == 0 and _fused_cond_ok(voc, dsp, target, overlap):
         return _crossfade_sharded(params, mels, voc, dsp, key, mesh, target,
                                   overlap, use_pallas, interpret,
-                                  device_out=device_out)
+                                  device_out=device_out,
+                                  sparse_packed=sparse_packed)
 
     if (seam_passes > 0 and mesh is None and use_pallas
             and _fused_cond_ok(voc, dsp, target, overlap)):
@@ -347,9 +360,16 @@ def generate_sharded(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
         return wav if device_out else np.asarray(wav)
 
     if use_pallas:
-        from ..ops.pallas_gen import generate_pallas
-        samples = generate_pallas(params, mels_up, aux, voc, dsp.bits, key,
-                                  interpret=interpret)
+        from ..ops.pallas_gen import (_generate_pallas_sparse_jit,
+                                      generate_pallas)
+        if sparse_packed and sparse_packed[0]:
+            samples = _generate_pallas_sparse_jit(
+                params, mels_up, aux, voc, dsp.bits, key, None,
+                sparse_packed[1], chunk=128, compute_dtype=jnp.bfloat16,
+                interpret=interpret, sparse_static=sparse_packed[0])
+        else:
+            samples = generate_pallas(params, mels_up, aux, voc, dsp.bits,
+                                      key, interpret=interpret)
     else:
         from ..ops.sample_loop import generate_scan
         samples = generate_scan(params, mels_up, aux, voc, dsp.bits, key)

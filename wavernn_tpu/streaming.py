@@ -39,21 +39,28 @@ from .config import DSPConfig, WaveRNNConfig
 from .models.wavernn import upsample_apply
 
 
-@partial(jax.jit, static_argnames=("voc", "bits", "T", "use_pallas"))
+@partial(jax.jit, static_argnames=("voc", "bits", "T", "use_pallas",
+                                   "sparse_static"))
 def _stream_block_jit(params, window, key, state, noise, voc: WaveRNNConfig,
-                      bits: int, T: int, use_pallas: bool):
+                      bits: int, T: int, use_pallas: bool,
+                      sparse_static=(), sparse_arrays=()):
     """One block = ONE compiled program: window upsample -> sample loop
     with state I/O. Running the upsampler eagerly (round-3's first cut)
     dispatched dozens of per-op programs per block, which serialized the
     stream on per-launch overhead (~150 ms/block on a remote executor vs
-    ~10 ms of device compute at B=1)."""
-    mels_up, aux, _ = upsample_apply(params["upsample"], window[None], voc,
+    ~10 ms of device compute at B=1).
+
+    window: (n_mels, W) for one stream, or (B, n_mels, W) for B concurrent
+    streams batched through one launch (state rows follow the same B)."""
+    w = window if window.ndim == 3 else window[None]
+    mels_up, aux, _ = upsample_apply(params["upsample"], w, voc,
                                      training=False)
     if use_pallas:
         from .ops.pallas_gen import generate_pallas_with_state
         return generate_pallas_with_state(
             params, mels_up, aux, voc, bits, key, noise=noise,
-            init_state=state, state_snapshot_at=T)
+            init_state=state, state_snapshot_at=T,
+            sparse_static=sparse_static, sparse_arrays=sparse_arrays)
     from .ops.sample_loop import generate_scan_with_state
     return generate_scan_with_state(params, mels_up, aux, voc, bits, key,
                                     noise=noise, init_state=state)
@@ -86,13 +93,14 @@ class StreamingVocoder:
     def __init__(self, params, voc: WaveRNNConfig, dsp: DSPConfig, key,
                  chunk_frames: int = 24, mu_law: bool = True,
                  use_pallas: Optional[bool] = None, noise=None,
-                 device_out: bool = False):
+                 device_out: bool = False, sparse_packed=None):
         self.params = params
         self.voc = voc
         self.dsp = dsp
         self.key = key
         self.chunk_frames = chunk_frames
         self.mu_law = mu_law and voc.mode == "RAW"
+        self._sparse = sparse_packed or ((), ())
         from .utils.backend import use_pallas_default
         T_block = chunk_frames * dsp.hop_length
         # the pallas state snapshot needs one step of padding headroom
@@ -152,7 +160,8 @@ class StreamingVocoder:
                            jnp.zeros((1,), jnp.float32))
         samples, self._state = _stream_block_jit(
             self.params, jnp.asarray(window), key, self._state, noise, voc,
-            dsp.bits, T, self._pallas)
+            dsp.bits, T, self._pallas, sparse_static=self._sparse[0],
+            sparse_arrays=self._sparse[1])
         self._block += 1
         if self._device_out:
             out = samples[0]
@@ -224,3 +233,206 @@ class StreamingVocoder:
             else:
                 out = np.concatenate([out, tail])
         return out
+
+
+class MultiStreamVocoder:
+    """B concurrent streams through ONE state-I/O kernel launch per block.
+
+    The sample kernel's step cost is nearly flat in batch (the persistent-
+    weights loop is serial-latency bound, SCALING saturation curve), so
+    batching B live sessions into one (B, ·) launch multiplies aggregate
+    real-time factor by ~B at almost unchanged per-block latency — the
+    serving win a per-session `StreamingVocoder` (B=1 state,
+    streaming.py:62) leaves on the table.  The reference has no streaming
+    at all (its only serving claim is "realtime+" batched generation,
+    hparams.py:58); this is SURVEY §5 long-context/serving done TPU-first.
+
+    Streams progress INDEPENDENTLY: each has its own mel buffer; a block
+    runs whenever at least one stream has a full window. Streams without a
+    full window ride along with zero conditioning and have their RNN state
+    restored afterwards (one `jnp.where` on the (B, R) state rows), so a
+    stream's audio is bit-identical to running it alone at the same block
+    boundaries — lagging sessions never corrupt, and never block, the rest.
+
+        msv = MultiStreamVocoder(params, voc, dsp, key, n_streams=8)
+        ready = msv.feed(b, mel_chunk)      # {stream: samples} newly ready
+        tail  = msv.flush(b)                # finish stream b, drain its tail
+
+    noise: optional per-stream injected sampling noise for deterministic
+    replay — MOL: (u_mix (T, B, nr_mix), u_s (T, B)); RAW: (T, B,
+    n_classes). Each stream consumes ITS column at its own sample position,
+    so replay matches a solo stream with the same noise column regardless
+    of relative progress. Without it, the kernel's on-core PRNG gives each
+    lane an independent draw (production).
+
+    device_out=True: results are lists of device arrays (one per block)
+    instead of host ndarrays — lets a serving loop overlap compute with
+    delivery (see StreamingVocoder.device_out).
+    """
+
+    def __init__(self, params, voc: WaveRNNConfig, dsp: DSPConfig, key,
+                 n_streams: int, chunk_frames: int = 24, mu_law: bool = True,
+                 use_pallas: Optional[bool] = None, noise=None,
+                 device_out: bool = False, sparse_packed=None):
+        from .utils.backend import use_pallas_default
+        self.params = params
+        self.voc = voc
+        self.dsp = dsp
+        self.key = key
+        self.n_streams = n_streams
+        self.chunk_frames = chunk_frames
+        self.mu_law = mu_law and voc.mode == "RAW"
+        self._sparse = sparse_packed or ((), ())
+        T_block = chunk_frames * dsp.hop_length
+        snapshot_ok = T_block % 128 != 0
+        if use_pallas and not snapshot_ok:
+            raise ValueError(
+                f"chunk_frames={chunk_frames} gives a block of {T_block} "
+                f"samples, a multiple of the kernel chunk (128) — no state-"
+                f"snapshot headroom; pick another chunk_frames")
+        self._pallas = use_pallas_default(use_pallas) and snapshot_ok
+        self._device_out = device_out
+        self._noise = noise
+        R = voc.rnn_dims
+        self._state = (jnp.zeros((n_streams, R), jnp.float32),
+                       jnp.zeros((n_streams, R), jnp.float32),
+                       jnp.zeros((n_streams,), jnp.float32))
+        # per-stream mel ring: starts with the offline path's left padding
+        self._bufs = [np.zeros((dsp.num_mels, voc.pad), np.float32)
+                      for _ in range(n_streams)]
+        self._noise_at = [0] * n_streams   # per-stream sample position
+        self._done = [False] * n_streams
+        self._flushed = [False] * n_streams  # tail block already emitted
+
+    # ------------------------------------------------------------------
+
+    def _window_len(self):
+        return self.chunk_frames + 2 * self.voc.pad
+
+    def _block_noise(self, active, T):
+        """Assemble (T, B, ·) replay noise from per-stream positions;
+        inactive lanes get the neutral 0.5 pad."""
+        if self._noise is None:
+            self.key, k = jax.random.split(self.key)
+            return k, None
+
+        def take(u, b):
+            s = self._noise_at[b]
+            col = u[s:s + T, b]
+            if col.shape[0] < T:
+                pad = [(0, T - col.shape[0])] + [(0, 0)] * (col.ndim - 1)
+                col = jnp.pad(col, pad, constant_values=0.5)
+            return col if active[b] else jnp.full_like(col, 0.5)
+
+        def stack(u):
+            return jnp.stack([take(u, b) for b in range(self.n_streams)],
+                             axis=1)
+
+        if self.voc.mode == "MOL":
+            u_mix, u_s = self._noise
+            block = (stack(u_mix), stack(u_s))
+        else:
+            block = stack(self._noise)
+        return jax.random.PRNGKey(0), block
+
+    def _run_block(self, windows, active):
+        """windows: (B, n_mels, W); active: list of bool. Runs one batched
+        block; freezes the state of inactive lanes."""
+        voc, dsp = self.voc, self.dsp
+        T = self.chunk_frames * dsp.hop_length
+        key, noise = self._block_noise(active, T)
+        old_state = self._state
+        samples, new_state = _stream_block_jit(
+            self.params, jnp.asarray(windows), key, old_state, noise, voc,
+            dsp.bits, T, self._pallas, sparse_static=self._sparse[0],
+            sparse_arrays=self._sparse[1])
+        amask = jnp.asarray(np.asarray(active))
+        self._state = tuple(
+            jnp.where(amask.reshape((-1,) + (1,) * (n.ndim - 1)), n, o)
+            for n, o in zip(new_state, old_state))
+        for b in range(self.n_streams):
+            if active[b]:
+                self._noise_at[b] += T
+        if self.mu_law:
+            mu = voc.n_classes(dsp.bits) - 1
+            if self._device_out:
+                samples = jnp.sign(samples) / mu * (
+                    (1 + mu) ** jnp.abs(samples) - 1)
+            else:  # host mode decodes in f64 like StreamingVocoder
+                s = np.asarray(samples)
+                samples = np.sign(s) / mu * ((1 + mu) ** np.abs(s) - 1)
+        return samples
+
+    def _drain(self):
+        """Run blocks while any stream has a full window; emit per-stream."""
+        voc, dsp = self.voc, self.dsp
+        W = self._window_len()
+        outs: dict = {}
+        while True:
+            active = [self._bufs[b].shape[1] >= W and not self._flushed[b]
+                      for b in range(self.n_streams)]
+            if not any(active):
+                break
+            windows = np.zeros((self.n_streams, dsp.num_mels, W), np.float32)
+            for b in range(self.n_streams):
+                if active[b]:
+                    windows[b] = self._bufs[b][:, :W]
+            samples = self._run_block(windows, active)
+            for b in range(self.n_streams):
+                if not active[b]:
+                    continue
+                # frames left of the next window start are never read again
+                self._bufs[b] = self._bufs[b][:, self.chunk_frames:]
+                y = samples[b]
+                if not self._device_out:
+                    y = np.asarray(y).astype(np.float32)
+                outs.setdefault(b, []).append(y)
+        if self._device_out:
+            return outs
+        return {b: np.concatenate(ys) for b, ys in outs.items()}
+
+    # ------------------------------------------------------------------
+
+    def feed(self, stream: int, mel_chunk):
+        """Append (n_mels, k) frames to ``stream``; run any ready blocks.
+        Returns {stream: newly-ready samples} across ALL streams (feeding
+        one stream can complete a block that other streams were already
+        waiting on)."""
+        assert not self._done[stream], f"stream {stream} already flushed"
+        mel_chunk = np.asarray(mel_chunk, np.float32)
+        self._bufs[stream] = np.concatenate([self._bufs[stream], mel_chunk],
+                                            axis=1)
+        return self._drain()
+
+    def flush(self, stream: int):
+        """Finish ``stream``: right-pad with `pad` zero frames (offline
+        symmetric padding), emit its remaining audio. Other streams are
+        untouched. Returns this stream's tail samples."""
+        assert not self._done[stream], f"stream {stream} already flushed"
+        self._done[stream] = True
+        voc, dsp = self.voc, self.dsp
+        self._bufs[stream] = np.concatenate(
+            [self._bufs[stream], np.zeros((dsp.num_mels, voc.pad),
+                                          np.float32)], axis=1)
+        out = self._drain().get(stream)
+        parts = ([] if out is None else
+                 (out if self._device_out else [out]))
+        # final short block: zero-pad to the full window, trim the emission
+        rem = self._bufs[stream].shape[1] - 2 * voc.pad
+        if rem > 0:
+            W = self._window_len()
+            windows = np.zeros((self.n_streams, dsp.num_mels, W), np.float32)
+            w = self._bufs[stream]
+            windows[stream, :, :w.shape[1]] = w
+            active = [False] * self.n_streams
+            active[stream] = True
+            samples = self._run_block(windows, active)
+            tail = samples[stream][: rem * dsp.hop_length]
+            parts.append(tail if self._device_out
+                         else np.asarray(tail).astype(np.float32))
+        self._flushed[stream] = True
+        self._bufs[stream] = self._bufs[stream][:, :0]
+        if self._device_out:
+            return parts
+        return (np.concatenate(parts) if parts
+                else np.zeros((0,), np.float32))
