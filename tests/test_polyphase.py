@@ -236,6 +236,46 @@ def test_tts_to_wav_fast_cpu(rng):
     assert wav.shape[0] == (mel.shape[1] - 1) * cfg.dsp.hop_length
 
 
+def test_tts_to_wav_batch_cpu(rng):
+    """Batched text->wav serving (one masked decode + one batched vocoder
+    launch): per-utterance outputs are sane, track each stop step, and the
+    decoded mels match the SOLO fast path exactly (the decode is
+    deterministic and pad-masked — the round-3 pad-attention bug would
+    break this for the short sentence)."""
+    import dataclasses
+
+    from wavernn_tpu.config import Config
+    from wavernn_tpu.models import tacotron as taco
+    from wavernn_tpu.synthesis import tts_to_wav_batch, tts_to_wav_fast
+
+    cfg = Config()
+    tts = dataclasses.replace(cfg.tts, embed_dims=16, encoder_dims=128,
+                              decoder_dims=256, postnet_dims=16, encoder_K=2,
+                              lstm_dims=32, postnet_K=2, num_highways=1)
+    cfg = dataclasses.replace(
+        cfg, tts=tts, voc=dataclasses.replace(
+            cfg.voc, rnn_dims=32, fc_dims=32, compute_dims=16,
+            res_out_dims=32, res_blocks=1))
+    tp = taco.init_tacotron(jax.random.PRNGKey(0), cfg.tts, cfg.dsp.num_mels)
+    vp = wr.init_wavernn(jax.random.PRNGKey(1), cfg.voc, cfg.dsp)
+    texts = ["hi", "a much longer sentence to synthesize", "medium one"]
+    outs = tts_to_wav_batch(tp, vp, texts, cfg, r=2, steps=64,
+                            mel_buckets=(16, 32, 64), use_pallas=False,
+                            key=jax.random.PRNGKey(7))
+    assert len(outs) == 3
+    for text, (wav, mel) in zip(texts, outs):
+        assert wav.ndim == 1 and wav.size > 0 and np.isfinite(wav).all()
+        assert mel.shape[0] == cfg.dsp.num_mels
+        assert wav.shape[0] == (mel.shape[1] - 1) * cfg.dsp.hop_length
+        # the deterministic decode half must equal the solo fast path
+        _, mel_solo = tts_to_wav_fast(tp, vp, text, cfg, r=2, steps=64,
+                                      mel_buckets=(16, 32, 64),
+                                      use_pallas=False,
+                                      key=jax.random.PRNGKey(7))
+        assert mel.shape == mel_solo.shape  # same stop step as alone
+        np.testing.assert_allclose(mel, mel_solo, atol=2e-5)
+
+
 def test_fused_state_kernel_matches_materialized_state(rng):
     """Fused state-I/O kernel vs the materialized state kernel: same
     samples, same boundary snapshot, honors init_state (interpret mode,

@@ -124,6 +124,74 @@ def tts_to_wav(tts_params, voc_params, text: str, cfg: Config, r: int,
     return wav, m, attention
 
 
+def tts_to_wav_batch(tts_params, voc_params, texts, cfg: Config, r: int,
+                     key=None, steps: int = 2000,
+                     mel_buckets=(256, 512, 1024, 2048),
+                     use_pallas=None, target=None, overlap=None,
+                     sparse_packed=None):
+    """Batched serving: N sentences -> one masked batched Tacotron decode
+    -> one batched vocoder launch. The TPU-first answer to the reference's
+    one-sentence-at-a-time loop (gen_tacotron.py:142-173).
+
+      * all sentences decode in ONE compiled scan with per-utterance stop
+        masks and a pad-masked LSA normalization + length-aware encoder
+        (models/tacotron.generate_batch semantics — short utterances decode
+        exactly as they would alone);
+      * ONE host sync of the N stop steps picks a mel-length bucket per
+        utterance (compiled shapes bucket across serving batches);
+      * the device-resident postnet mels feed generate_multi: every
+        utterance's folds concatenate into ONE fused sample-kernel launch
+        (device_out path), post-processing on device;
+      * each wav exports trimmed to its true length with the reference's
+        tail fade applied at the REAL utterance end.
+
+    Returns a list of (wav float32 numpy, mel numpy (n_mels, T_valid)).
+    """
+    import jax.numpy as jnp
+
+    from .models.tacotron import _generate_scan
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    k_mel, k_voc = jax.random.split(key)
+    pallas = _auto_pallas(use_pallas)
+    seqs = [np.asarray(text_to_sequence(t.strip(), cfg.tts.cleaner_names))
+            for t in texts]
+    max_len = max(len(s) for s in seqs)
+    x = jnp.asarray(np.stack([np.pad(s, (0, max_len - len(s)))
+                              for s in seqs]))
+    lens = jnp.asarray([len(s) for s in seqs])
+    steps = -(-steps // r) * r
+    _, linear, _, n_valid = _generate_scan(tts_params, x, cfg.tts, r, steps,
+                                           cfg.dsp.num_mels, k_mel,
+                                           text_lens=lens)
+
+    n_valid = np.asarray(n_valid)              # one host sync of N scalars
+    buckets = sorted(mel_buckets)
+    mels, t_valids = [], []
+    for b in range(len(seqs)):
+        T_valid = min(int(n_valid[b]) * r, steps)
+        bucket = min(next((k for k in buckets if k >= T_valid), steps),
+                     steps)
+        # postnet output is the conditioning (gen_tacotron.py:145); short
+        # utterances pad with the frozen silent frames the decoder produced
+        mels.append(jnp.clip((linear[b, :, :bucket] + 4.0) / 8.0, 0.0, 1.0))
+        t_valids.append(T_valid)
+
+    wavs = wr.generate_multi(voc_params, mels, cfg.voc, cfg.dsp, k_voc,
+                             target=target, overlap=overlap,
+                             mu_law=cfg.dsp.mu_law, use_pallas=pallas,
+                             device_out=True, tail_fade=False,
+                             sparse_packed=sparse_packed)
+    outs = []
+    for b, (w, T_valid) in enumerate(zip(wavs, t_valids)):
+        wave_valid = max(T_valid - 1, 1) * cfg.dsp.hop_length
+        wav = np.array(np.asarray(w)[:wave_valid], dtype=np.float32)
+        n_fade = min(20 * cfg.dsp.hop_length, wave_valid)
+        wav[-n_fade:] *= np.linspace(1.0, 0.0, n_fade, dtype=wav.dtype)
+        outs.append((wav, np.asarray(mels[b][:, :T_valid])))
+    return outs
+
+
 def tts_to_wav_fast(tts_params, voc_params, text: str, cfg: Config, r: int,
                     key=None, steps: int = 2000,
                     mel_buckets=(256, 512, 1024, 2048),
