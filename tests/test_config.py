@@ -64,3 +64,41 @@ def test_precision_typos_rejected():
             WaveRNNTrainConfig(precision=bad)
         with pytest.raises(ValueError):
             TacotronTrainConfig(precision=bad)
+
+
+import glob
+import os
+
+import pytest as _pytest
+
+_CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+
+@_pytest.mark.parametrize("path", sorted(glob.glob(
+    os.path.join(_CONFIG_DIR, "*.py"))), ids=os.path.basename)
+def test_in_repo_experiment_presets_load(path):
+    """Every configs/ preset of record loads into a valid typed Config
+    (a fresh checkout can run a named experiment without reaching into the
+    reference's scripts/)."""
+    from wavernn_tpu.config import Config
+
+    cfg = Config.from_hparams_file(path)
+    name = os.path.basename(path)
+    assert cfg.voc_model_id.startswith("lj_"), name
+    if "af_offline" in name:
+        assert cfg.tts.mode == "attention_forcing_offline"
+        assert cfg.tts_train.attn_ref_path == "attn_lj_gold"
+        assert cfg.tts_train.attn_loss_coeff == 200.0
+    if "af_online" in name:
+        assert cfg.tts.mode == "attention_forcing_online"
+        assert cfg.ignore_voc and cfg.tts_train.model_tf_path
+        assert cfg.test_sentences_names is not None
+    if "gold" in name:
+        assert cfg.tts_train.schedule[0][0] == 7  # progressive r
+        assert cfg.tts_train.init_weights_path
+    if "prune" in name:
+        assert cfg.voc_train.prune
+        assert cfg.voc_train.prune_block == (128, 128)
+        assert cfg.voc_train.prune_sparsity == 0.9375
+    if "debug" in name:
+        assert cfg.voc_train.total_steps == 1_000_000
