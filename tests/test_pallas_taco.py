@@ -118,3 +118,94 @@ def test_long_text_padding():
     assert int(nv_k[0]) == int(nv_s[0])
     np.testing.assert_allclose(np.asarray(mel_k), mel_s, atol=2e-4)
     np.testing.assert_allclose(np.asarray(attn_k), attn_s, atol=2e-5)
+
+
+def _setup_batch(tts, lens, seed=0):
+    params = taco.init_tacotron(jax.random.PRNGKey(seed), tts, N_MELS)
+    rng = np.random.RandomState(seed)
+    max_len = max(lens)
+    x = jnp.asarray(np.stack(
+        [np.pad(rng.randint(1, 148, (n,)), (0, max_len - n))
+         for n in lens]))
+    lens_a = jnp.asarray(lens)
+    k_enc, _ = jax.random.split(jax.random.PRNGKey(3))
+    enc, _ = taco.encoder_apply(params["encoder"], x, k_enc, False,
+                                tts.dropout, lens=lens_a)
+    encp = taco.L.linear(params["encoder_proj"], enc)
+    tm = (jnp.arange(max_len)[None, :] < lens_a[:, None]).astype(jnp.float32)
+    enc = enc * tm[..., None]
+    encp = encp * tm[..., None]
+    return params, x, lens_a, enc, encp, tm
+
+
+def _scan_batch(params, x, lens, tts, r, steps):
+    mel, linear, attn, n_valid = taco._generate_scan(
+        params, x, tts, r, steps, N_MELS, jax.random.PRNGKey(3),
+        text_lens=lens)
+    return np.asarray(mel), np.asarray(attn), np.asarray(n_valid)
+
+
+def test_batched_decode_parity_mixed_lengths():
+    """B=4 mixed-length batch through the batched kernel == the masked
+    scan: per-utterance pad-masked attention, lane-block replicated
+    location conv, per-row state."""
+    from wavernn_tpu.ops.pallas_taco import decode_pallas_batch
+
+    tts = _tts()
+    lens = [5, 15, 9, 12]
+    params, x, lens_a, enc, encp, tm = _setup_batch(tts, lens)
+    r, steps = 2, 24
+    mel_k, attn_k, nv_k = decode_pallas_batch(params, enc, encp, tm, tts, r,
+                                              steps, N_MELS, interpret=True)
+    mel_s, attn_s, nv_s = _scan_batch(params, x, lens_a, tts, r, steps)
+    np.testing.assert_array_equal(np.asarray(nv_k), nv_s)
+    np.testing.assert_allclose(np.asarray(mel_k), mel_s, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(attn_k), attn_s, atol=2e-5)
+
+
+def test_batched_decode_per_utterance_stop_and_freeze():
+    """Per-row stop masks: each utterance freezes at ITS stop group, the
+    frozen rows replay while live rows continue, and once all rows stop
+    the whole group replays — n_valid and every emitted group must match
+    the scan's per-element freeze semantics."""
+    from wavernn_tpu.ops.pallas_taco import decode_pallas_batch
+
+    r = 2
+    tts = dataclasses.replace(_tts(), stop_threshold=10.0)
+    lens = [7, 11, 4]
+    params, x, lens_a, enc, encp, tm = _setup_batch(tts, lens, seed=5)
+    steps = 64
+    mel_k, attn_k, nv_k = decode_pallas_batch(params, enc, encp, tm, tts, r,
+                                              steps, N_MELS, interpret=True)
+    mel_s, attn_s, nv_s = _scan_batch(params, x, lens_a, tts, r, steps)
+    np.testing.assert_array_equal(np.asarray(nv_k), nv_s)
+    assert int(np.asarray(nv_k).max()) < steps // r  # stop actually fired
+    np.testing.assert_allclose(np.asarray(mel_k), mel_s, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(attn_k), attn_s, atol=2e-5)
+
+
+def test_generate_batch_kernel_impl_matches_scan():
+    """generate_batch(impl='pallas') full pipeline (length-aware encoder +
+    batched kernel + postnet + per-utterance trim) == impl='scan'."""
+    import functools
+
+    tts = _tts()
+    params = taco.init_tacotron(jax.random.PRNGKey(2), tts, N_MELS)
+    rng = np.random.RandomState(2)
+    sentences = [rng.randint(1, 148, (n,)) for n in (6, 14, 10)]
+    key = jax.random.PRNGKey(7)
+    # route the interpret flag through the jitted wrapper
+    orig = taco._generate_kernel_batch
+    taco._generate_kernel_batch = functools.partial(orig, interpret=True)
+    try:
+        got = taco.generate_batch(params, sentences, tts, r=2, steps=20,
+                                  key=key, impl="pallas")
+    finally:
+        taco._generate_kernel_batch = orig
+    want = taco.generate_batch(params, sentences, tts, r=2, steps=20,
+                               key=key, impl="scan")
+    for (mk, lk, ak), (ms, ls, asn) in zip(got, want):
+        assert mk.shape == ms.shape
+        np.testing.assert_allclose(mk, ms, atol=2e-4)
+        np.testing.assert_allclose(lk, ls, atol=2e-3)
+        np.testing.assert_allclose(ak, asn, atol=2e-5)

@@ -275,3 +275,34 @@ def test_sparse_serving_surfaces_on_hardware(tpu_backend):
                            sparse_packed=packed)
     assert wav.shape == ((frames[0] - 1) * dsp.hop_length,)
     assert np.isfinite(wav).all() and np.abs(wav).std() > 1e-4
+
+
+def test_batched_tacotron_decode_kernel_on_hardware(tpu_backend):
+    """Batched (B<=8) persistent-weights decode kernel vs the masked scan
+    on silicon: mixed lengths, per-utterance stop masks, full-size
+    decoder."""
+    import jax
+    import jax.numpy as jnp
+
+    from wavernn_tpu.config import Config
+    from wavernn_tpu.models import tacotron as taco
+
+    cfg = Config()
+    params = taco.init_tacotron(jax.random.PRNGKey(0), cfg.tts,
+                                cfg.dsp.num_mels)
+    rng = np.random.RandomState(0)
+    lens = [70, 45, 60, 30]
+    x = jnp.asarray(np.stack(
+        [np.pad(rng.randint(1, 148, (n,)), (0, max(lens) - n))
+         for n in lens]))
+    lens_a = jnp.asarray(lens)
+    key = jax.random.PRNGKey(3)
+    mel_k, lin_k, attn_k, nv_k = taco._generate_kernel_batch(
+        params, x, lens_a, cfg.tts, 2, 500, cfg.dsp.num_mels, key)
+    mel_s, lin_s, attn_s, nv_s = taco._generate_scan(
+        params, x, cfg.tts, 2, 500, cfg.dsp.num_mels, key, text_lens=lens_a)
+    np.testing.assert_array_equal(np.asarray(nv_k), np.asarray(nv_s))
+    np.testing.assert_allclose(np.asarray(attn_k), np.asarray(attn_s),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(mel_k), np.asarray(mel_s),
+                               atol=5e-3)

@@ -593,10 +593,46 @@ def generate(params, x_ids, tts: TacotronConfig, r: int, n_mels: int = 80,
             np.asarray(attn[0, : T // r]))
 
 
+@partial(jax.jit, static_argnames=("tts", "r", "steps", "n_mels",
+                                   "interpret"))
+def _generate_kernel_batch(params, x_ids, text_lens, tts: TacotronConfig,
+                           r: int, steps: int, n_mels: int, key,
+                           interpret: bool = False):
+    """Batched free-running decode on the persistent-weights kernel
+    (ops/pallas_taco.decode_pallas_batch, B <= 8): length-aware encoder +
+    postnet stay XLA, all B sequential group loops run in ONE launch.
+    Same outputs as `_generate_scan(..., text_lens=...)`."""
+    from ..ops.pallas_taco import decode_pallas_batch
+
+    k_enc, _ = jax.random.split(key)
+    encoder_seq, _ = encoder_apply(params["encoder"], x_ids, k_enc, False,
+                                   tts.dropout, lens=text_lens)
+    encoder_seq_proj = L.linear(params["encoder_proj"], encoder_seq)
+    text_mask = (jnp.arange(x_ids.shape[1])[None, :]
+                 < text_lens[:, None]).astype(jnp.float32)
+    # pad positions of the length-aware encoder outputs are garbage
+    # (highway of BN(0) + backward-GRU tail) — zero them so the kernel's
+    # masked scores see clean context planes
+    encoder_seq = encoder_seq * text_mask[..., None]
+    encoder_seq_proj = encoder_seq_proj * text_mask[..., None]
+    mel_out, attn, n_valid = decode_pallas_batch(
+        params, encoder_seq, encoder_seq_proj, text_mask, tts, r, steps,
+        n_mels, interpret=interpret)
+    postnet_out, _ = cbhg_apply(params["postnet"], mel_out, False)
+    linear = L.linear(params["post_proj"], postnet_out)
+    linear = jnp.swapaxes(linear, 1, 2)
+    return mel_out, linear, attn, n_valid
+
+
 def generate_batch(params, x_ids_list, tts: TacotronConfig, r: int,
-                   n_mels: int = 80, steps: int = 2000, key=None):
+                   n_mels: int = 80, steps: int = 2000, key=None,
+                   impl: str = "auto"):
     """Serving path: free-running decode for a BATCH of sentences in one
-    compiled scan (pad-to-max text lengths; per-utterance stop masks).
+    compiled program (pad-to-max text lengths; per-utterance stop masks).
+
+    impl: "pallas" (batched persistent-weights decode kernel, B <= 8),
+    "scan" (XLA lax.scan), or "auto" = pallas on TPU backends when the
+    batch fits the kernel's 8 sublane rows, scan elsewhere.
 
     Returns a list of (mel, linear, attn) numpy triples, each trimmed to
     its own stop step. Pad-to-max text lengths are masked out of the
@@ -605,13 +641,21 @@ def generate_batch(params, x_ids_list, tts: TacotronConfig, r: int,
     """
     if key is None:
         key = jax.random.PRNGKey(0)
+    if impl == "auto":
+        from ..utils.backend import use_pallas_default
+        impl = ("pallas" if use_pallas_default() and len(x_ids_list) <= 8
+                else "scan")
     max_len = max(len(x) for x in x_ids_list)
     x = jnp.asarray(np.stack([np.pad(np.asarray(xi), (0, max_len - len(xi)))
                               for xi in x_ids_list]))
     lens = jnp.asarray([len(xi) for xi in x_ids_list])
     steps = -(-steps // r) * r
-    mel, linear, attn, n_valid = _generate_scan(params, x, tts, r, steps,
-                                                n_mels, key, text_lens=lens)
+    if impl == "pallas":
+        mel, linear, attn, n_valid = _generate_kernel_batch(
+            params, x, lens, tts, r, steps, n_mels, key)
+    else:
+        mel, linear, attn, n_valid = _generate_scan(
+            params, x, tts, r, steps, n_mels, key, text_lens=lens)
     outs = []
     for b in range(len(x_ids_list)):
         T = min(int(n_valid[b]) * r, steps)

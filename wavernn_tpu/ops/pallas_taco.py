@@ -209,6 +209,326 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+# --------------------------------------------------------------------------
+# Batched decode kernel (B <= 8 utterances per launch)
+# --------------------------------------------------------------------------
+
+def _make_batch_kernel(B: int, r: int, n_mels: int, T_pad: int, F: int,
+                       E: int, D: int, stop_threshold: float):
+    """B-utterance decode in one launch (VERDICT r3 item 7).
+
+    The (8, d) sublane-row state layout of the B=1 kernel already gives
+    batched RNN/prenet/mel matmuls for free — rows 0..B-1 carry live
+    utterances. The per-utterance attention vectorizes by LANE BLOCKS:
+
+      * cumulative/previous attention live in replicated planes
+        (T_pad, 32*8) — utterance b's value broadcast across lanes
+        [32b, 32b+32); the 31 location-conv sublane rolls are then SHARED
+        across the batch, and the per-block conv taps (w0r/w1r, each tap
+        tiled per block) make the 62 rank-1 FMAs batch-oblivious;
+      * replication itself is ONE dot against a 0/1 block matrix R
+        (scores (T_pad, 8) @ R (8, 256));
+      * the 32->D location projection and the energy reduction run as
+        block-diagonal dots ((T_pad, 256) @ blockdiag(lw) -> per-b lanes
+        [b*D, (b+1)*D); tanh plane; @ blockdiag(v) -> (T_pad, 8));
+      * per-b context contractions and (8,1)->(1,8) stop-flag transposes
+        are tiny dots (the latter against I8).
+
+    Per-utterance stop masks freeze each row's state (select against the
+    row mask) and each lane block's attention plane (select against R's
+    live-block mask), bit-matching `_generate_scan`'s frozen-state
+    semantics; once ALL rows have stopped the frozen output group replays
+    for the remaining groups like the B=1 kernel. Padding rows b >= B
+    start stopped (and their text mask points at position 0 so the
+    normalization stays finite).
+    """
+
+    def kernel(enc_ref,       # (8, T_pad, E) per-utterance encoder seq
+               encp_ref,      # (T_pad, 8*D)  per-utterance proj (lane blocks)
+               mask_ref,      # (T_pad, 8)    per-utterance text masks
+               R_ref,         # (8, 256)      block replication (0/1)
+               I8_ref,        # (8, 8)        identity (row->col transpose)
+               w1p_ref, b1_ref, w2p_ref, b2_ref,          # prenet
+               awi_ref, abi_ref, awh_ref, abh_ref,        # attn GRU
+               wq_ref, qb_ref,                            # query proj (+Lb)
+               w0r_ref, w1r_ref,                          # conv taps (32,256)
+               lwbd_ref,      # (256, 8*D) blockdiag location proj
+               vbd_ref,       # (8*D, 8)   blockdiag energy vector
+               wr_ref, br_ref,                            # rnn_input
+               l1wi_ref, l1wh_ref, l1b_ref,               # LSTM 1
+               l2wi_ref, l2wh_ref, l2b_ref,               # LSTM 2
+               wm_ref,                                    # mel_proj (perm)
+               mel_out_ref,   # (8, G_CHUNK, F_pad)
+               att_out_ref,   # (8, T_pad, G_CHUNK)
+               stop_out_ref,  # (8, G_CHUNK)
+               ah_ref, h1_ref, c1_ref, h2_ref, c2_ref,    # RNN state rows
+               ctx_ref, prev_ref,                         # context, GO frame
+               cum_ref,       # (T_pad, 256) replicated cumulative attention
+               att_ref,       # (T_pad, 256) replicated previous attention
+               sm_ref,        # (8, 128) row b col* = 1.0 once b stopped
+               hold_mel_ref, hold_att_ref,                # frozen replay
+               flags_ref):    # SMEM (2,): [all_stopped, hold_valid]
+        prog = pl.program_id(0)
+
+        @pl.when(prog == 0)
+        def _():
+            for ref in (ah_ref, h1_ref, c1_ref, h2_ref, c2_ref, ctx_ref,
+                        prev_ref, cum_ref, att_ref, hold_mel_ref,
+                        hold_att_ref):
+                ref[:] = jnp.zeros_like(ref)
+            # padding rows start stopped
+            row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            sm_ref[:] = jnp.where(row8 >= B, 1.0, 0.0)
+            flags_ref[0] = 0
+            flags_ref[1] = 0
+
+        lane_T = jax.lax.broadcasted_iota(jnp.int32, (T_pad, G_CHUNK), 1)
+        lane_8 = jax.lax.broadcasted_iota(jnp.int32, (8, G_CHUNK), 1)
+
+        def body(i, _):
+            g = prog * G_CHUNK + i
+            all_stopped = flags_ref[0]
+            sm_pre = sm_ref[:, 0:1]          # (8,1) pre-update row flags
+
+            @pl.when(jnp.logical_or(all_stopped == 0, flags_ref[1] == 0))
+            def _():
+                sm = sm_pre
+                live = 1.0 - sm
+                # (1,8) column form + (1,256) live lane-block mask
+                liveT = jax.lax.dot_general(
+                    live, I8_ref[:],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # (1, 8)
+                live_blk = _dot(liveT, R_ref[:])           # (1, 256)
+
+                # ---- decoder group step, rows 0..B-1 live ----
+                p1 = jnp.maximum(_dot(prev_ref[:], w1p_ref[:]) + b1_ref[:],
+                                 0.0)
+                p2 = jnp.maximum(_dot(p1, w2p_ref[:]) + b2_ref[:], 0.0)
+                inp = jnp.concatenate([ctx_ref[:], p2], axis=1)
+                gi = _dot(inp, awi_ref[:]) + abi_ref[:]
+                gh = _dot(ah_ref[:], awh_ref[:]) + abh_ref[:]
+                ah = _gru(gi, gh, ah_ref[:])
+
+                # ---- LSA smooth attention, all utterances at once ----
+                loc = jnp.zeros((T_pad, 256), jnp.float32)
+                for k in range(CONV_K):
+                    shc = pltpu.roll(cum_ref[:], (CONV_HALF - k) % T_pad,
+                                     axis=0)
+                    sha = pltpu.roll(att_ref[:], (CONV_HALF - k) % T_pad,
+                                     axis=0)
+                    loc = (loc + shc * w0r_ref[k:k + 1, :]
+                           + sha * w1r_ref[k:k + 1, :])
+                locL = _dot(loc, lwbd_ref[:])              # (T_pad, 8D)
+                q = _dot(ah, wq_ref[:]) + qb_ref[:]        # (8, D) + Lb
+                q_plane = jnp.concatenate(
+                    [jnp.broadcast_to(q[b:b + 1, :], (T_pad, D))
+                     for b in range(8)], axis=1)           # (T_pad, 8D)
+                arg = jnp.tanh(locL + encp_ref[:] + q_plane)
+                u = _dot(arg, vbd_ref[:])                  # (T_pad, 8)
+                sig = _sig(u) * mask_ref[:]
+                scores = sig / jnp.sum(sig, axis=0, keepdims=True)
+                ctx8 = jnp.concatenate(
+                    [jax.lax.dot_general(
+                        scores[:, b:b + 1], enc_ref[b],
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                     for b in range(8)], axis=0)           # (8, E)
+
+                # ---- residual zoneout LSTMs (eval: passthrough) ----
+                x = _dot(jnp.concatenate([ctx8, ah], axis=1), wr_ref[:]) \
+                    + br_ref[:]
+                h1, c1 = _lstm(_dot(x, l1wi_ref[:])
+                               + _dot(h1_ref[:], l1wh_ref[:]) + l1b_ref[:],
+                               h1_ref[:], c1_ref[:])
+                x = x + h1
+                h2, c2 = _lstm(_dot(x, l2wi_ref[:])
+                               + _dot(h2_ref[:], l2wh_ref[:]) + l2b_ref[:],
+                               h2_ref[:], c2_ref[:])
+                x = x + h2
+                mels = _dot(x, wm_ref[:])          # (8, F_pad) frame-major
+
+                silent = jnp.all(mels[:, :F] < stop_threshold, axis=1,
+                                 keepdims=True).astype(jnp.float32)  # (8,1)
+                hit = jnp.where(g * r > 10, silent, 0.0)
+
+                # ---- freeze stopped rows / lane blocks ----
+                def sel(new, old):
+                    return live * new + sm * old
+
+                @pl.when(all_stopped == 0)
+                def _():
+                    ah_ref[:] = sel(ah, ah_ref[:])
+                    h1_ref[:] = sel(h1, h1_ref[:])
+                    c1_ref[:] = sel(c1, c1_ref[:])
+                    h2_ref[:] = sel(h2, h2_ref[:])
+                    c2_ref[:] = sel(c2, c2_ref[:])
+                    ctx_ref[:] = sel(ctx8, ctx_ref[:])
+                    prev_ref[:, :n_mels] = sel(
+                        mels[:, (r - 1) * n_mels: r * n_mels],
+                        prev_ref[:, :n_mels])
+                    sc_rep = _dot(scores, R_ref[:])        # (T_pad, 256)
+                    cum_ref[:] = cum_ref[:] + sc_rep * live_blk
+                    att_ref[:] = (att_ref[:] * (1.0 - live_blk)
+                                  + sc_rep * live_blk)
+                    sm_new = jnp.minimum(sm + hit, 1.0)
+                    sm_ref[:] = jnp.broadcast_to(sm_new, (8, 128))
+                    flags_ref[0] = jax.lax.select(jnp.sum(sm_new) > 7.5,
+                                                  1, 0)
+
+                @pl.when(all_stopped == 1)
+                def _():
+                    # first all-stopped group: the frozen-state output that
+                    # the scan would recompute forever — hold it for replay
+                    flags_ref[1] = 1
+
+                hold_mel_ref[:] = mels
+                hold_att_ref[:, :8] = scores
+
+            # ---- emit (live value or frozen replay) ----
+            mel_out_ref[:, pl.ds(i, 1), :] = hold_mel_ref[:].reshape(
+                8, 1, hold_mel_ref.shape[-1])
+            for b in range(B):
+                att_out_ref[b] = jnp.where(lane_T == i,
+                                           hold_att_ref[:, b:b + 1],
+                                           att_out_ref[b])
+            stop_out_ref[:] = jnp.where(lane_8 == i, sm_pre,
+                                        stop_out_ref[:])
+            return 0
+
+        jax.lax.fori_loop(0, G_CHUNK, body, 0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("tts", "r", "steps", "n_mels",
+                                   "interpret"))
+def decode_pallas_batch(params, encoder_seq, encoder_seq_proj, text_mask,
+                        tts: TacotronConfig, r: int, steps: int, n_mels: int,
+                        interpret: bool = False):
+    """Run the batched free-running decode kernel (B <= 8).
+
+    encoder_seq: (B, T_text, E); encoder_seq_proj: (B, T_text, D);
+    text_mask: (B, T_text) 1.0 where real text (pad-masked LSA
+    normalization — models/tacotron.lsa_scores). Returns
+    (mel_out (B, n_mels, steps), attn (B, n_groups, T_text),
+    n_valid_groups (B,)) matching `_generate_scan`'s decoder outputs
+    (postnet runs outside)."""
+    dec = params["decoder"]
+    B = encoder_seq.shape[0]
+    assert B <= 8, "the batched decode kernel packs utterances on sublanes"
+    E = encoder_seq.shape[-1]
+    D = tts.decoder_dims
+    T_text = encoder_seq.shape[1]
+    T_pad = _round_up(T_text + CONV_HALF, 128)
+    n_groups = steps // r
+    n_g_pad = _round_up(n_groups, G_CHUNK)
+    F = r * n_mels
+    F_pad = _round_up(F, 128)
+
+    pad_B = ((0, 8 - B), (0, 0), (0, 0))
+    pad_T3 = ((0, 0), (0, T_pad - T_text), (0, 0))
+    enc = jnp.pad(encoder_seq, pad_B)                     # (8, T_text, E)
+    enc = jnp.pad(enc, pad_T3)                            # (8, T_pad, E)
+    encp = jnp.pad(jnp.pad(encoder_seq_proj, pad_B), pad_T3)
+    # lane-block concat: utterance b's proj at lanes [b*D, (b+1)*D)
+    encp_all = jnp.concatenate([encp[b] for b in range(8)], axis=1)
+    mask = jnp.pad(text_mask.astype(jnp.float32),
+                   ((0, 8 - B), (0, T_pad - T_text)))     # (8, T_pad)
+    # padding rows: one live position keeps the sigmoid norm finite
+    mask = mask.at[B:, 0].set(1.0)
+    mask_cols = jnp.swapaxes(mask, 0, 1)                  # (T_pad, 8)
+
+    R = np.zeros((8, 256), np.float32)
+    for b in range(8):
+        R[b, 32 * b:32 * b + 32] = 1.0
+    conv_w = dec["attn"]["conv"]["w"]                     # (32, 2, 31)
+    w0r = jnp.zeros((32, 256), jnp.float32).at[:CONV_K].set(
+        jnp.tile(jnp.swapaxes(conv_w[:, 0, :], 0, 1), (1, 8)))
+    w1r = jnp.zeros((32, 256), jnp.float32).at[:CONV_K].set(
+        jnp.tile(jnp.swapaxes(conv_w[:, 1, :], 0, 1), (1, 8)))
+    lw = dec["attn"]["L"]["w"]                            # (32, D)
+    lwbd = jnp.zeros((256, 8 * D), jnp.float32)
+    vbd = jnp.zeros((8 * D, 8), jnp.float32)
+    for b in range(8):
+        lwbd = lwbd.at[32 * b:32 * b + 32, D * b:D * (b + 1)].set(lw)
+        vbd = vbd.at[D * b:D * (b + 1), b].set(dec["attn"]["v"]["w"][:, 0])
+
+    pre = dec["prenet"]
+    P1 = pre["fc1"]["w"].shape[1]
+    w1p = jnp.zeros((128, P1), jnp.float32).at[:n_mels].set(
+        pre["fc1"]["w"])
+    qb = (dec["attn"]["W"]["b"] + dec["attn"]["L"]["b"])[None]
+    wm = dec["mel_proj"]["w"].reshape(-1, n_mels, tts.max_r)[:, :, :r]
+    wm = jnp.swapaxes(wm, 1, 2).reshape(-1, F)
+    wm = jnp.pad(wm, ((0, 0), (0, F_pad - F)))
+
+    weights = [
+        w1p, pre["fc1"]["b"][None],
+        pre["fc2"]["w"], pre["fc2"]["b"][None],
+        dec["attn_rnn"]["wi"], dec["attn_rnn"]["bi"][None],
+        dec["attn_rnn"]["wh"], dec["attn_rnn"]["bh"][None],
+        dec["attn"]["W"]["w"], qb, w0r, w1r, lwbd, vbd,
+        dec["rnn_input"]["w"], dec["rnn_input"]["b"][None],
+        dec["res_rnn1"]["wi"], dec["res_rnn1"]["wh"],
+        (dec["res_rnn1"]["bi"] + dec["res_rnn1"]["bh"])[None],
+        dec["res_rnn2"]["wi"], dec["res_rnn2"]["wh"],
+        (dec["res_rnn2"]["bi"] + dec["res_rnn2"]["bh"])[None],
+        wm,
+    ]
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda t: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    L = tts.lstm_dims
+    kernel = _make_batch_kernel(B, r, n_mels, T_pad, F, E, D,
+                                tts.stop_threshold)
+    ins = [enc, encp_all, mask_cols, jnp.asarray(R), jnp.eye(8)] + weights
+    mel_out, att_out, stop_out = pl.pallas_call(
+        kernel,
+        grid=(n_g_pad // G_CHUNK,),
+        in_specs=[const_spec(jnp.shape(a)) for a in ins],
+        out_specs=(
+            pl.BlockSpec((8, G_CHUNK, F_pad), lambda t: (0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, T_pad, G_CHUNK), lambda t: (0, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, G_CHUNK), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((8, n_g_pad, F_pad), jnp.float32),
+            jax.ShapeDtypeStruct((8, T_pad, n_g_pad), jnp.float32),
+            jax.ShapeDtypeStruct((8, n_g_pad), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((8, D), jnp.float32),        # attn hidden
+            pltpu.VMEM((8, L), jnp.float32),        # h1
+            pltpu.VMEM((8, L), jnp.float32),        # c1
+            pltpu.VMEM((8, L), jnp.float32),        # h2
+            pltpu.VMEM((8, L), jnp.float32),        # c2
+            pltpu.VMEM((8, E), jnp.float32),        # context
+            pltpu.VMEM((8, 128), jnp.float32),      # prev frame
+            pltpu.VMEM((T_pad, 256), jnp.float32),  # replicated cumulative
+            pltpu.VMEM((T_pad, 256), jnp.float32),  # replicated attention
+            pltpu.VMEM((8, 128), jnp.float32),      # per-row stop mask
+            pltpu.VMEM((8, F_pad), jnp.float32),    # hold: mel group
+            pltpu.VMEM((T_pad, 128), jnp.float32),  # hold: attention cols
+            pltpu.SMEM((2,), jnp.int32),            # all_stopped, hold_valid
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*ins)
+
+    mel = mel_out[:B, :n_groups, :F].reshape(B, n_groups * r, n_mels)
+    mel = jnp.swapaxes(mel, 1, 2)                         # (B, n_mels, T)
+    attn = jnp.swapaxes(att_out[:B, :T_text, :n_groups], 1, 2)
+    n_valid = jnp.sum(stop_out[:B, :n_groups] < 0.5, axis=1)
+    return mel, attn, n_valid
+
+
 @partial(jax.jit, static_argnames=("tts", "r", "steps", "n_mels",
                                    "interpret"))
 def decode_pallas(params, encoder_seq, encoder_seq_proj, text_mask,

@@ -393,15 +393,25 @@ class MultiStreamVocoder:
 
     # ------------------------------------------------------------------
 
-    def feed(self, stream: int, mel_chunk):
+    def feed(self, stream: int, mel_chunk, drain: bool = True):
         """Append (n_mels, k) frames to ``stream``; run any ready blocks.
         Returns {stream: newly-ready samples} across ALL streams (feeding
         one stream can complete a block that other streams were already
-        waiting on)."""
+        waiting on).
+
+        drain=False only buffers — a serving loop that receives frames for
+        several sessions in one tick should feed them all first and then
+        `poll()` once, so ALL ready lanes share each batched block instead
+        of the first-ready lane launching a mostly-idle one."""
         assert not self._done[stream], f"stream {stream} already flushed"
         mel_chunk = np.asarray(mel_chunk, np.float32)
         self._bufs[stream] = np.concatenate([self._bufs[stream], mel_chunk],
                                             axis=1)
+        return self._drain() if drain else {}
+
+    def poll(self):
+        """Run every block that became ready since the last drain (pair
+        with feed(..., drain=False))."""
         return self._drain()
 
     def flush(self, stream: int):

@@ -128,7 +128,7 @@ def tts_to_wav_batch(tts_params, voc_params, texts, cfg: Config, r: int,
                      key=None, steps: int = 2000,
                      mel_buckets=(256, 512, 1024, 2048),
                      use_pallas=None, target=None, overlap=None,
-                     sparse_packed=None):
+                     sparse_packed=None, device_out: bool = False):
     """Batched serving: N sentences -> one masked batched Tacotron decode
     -> one batched vocoder launch. The TPU-first answer to the reference's
     one-sentence-at-a-time loop (gen_tacotron.py:142-173).
@@ -145,11 +145,14 @@ def tts_to_wav_batch(tts_params, voc_params, texts, cfg: Config, r: int,
       * each wav exports trimmed to its true length with the reference's
         tail fade applied at the REAL utterance end.
 
-    Returns a list of (wav float32 numpy, mel numpy (n_mels, T_valid)).
+    Returns a list of (wav float32 numpy, mel numpy (n_mels, T_valid)) —
+    or, with device_out=True, a list of (wav device array TRIMMED to the
+    true length but NOT tail-faded, T_valid) so a serving loop can defer
+    the host export (fade the final 20*hop samples at delivery).
     """
     import jax.numpy as jnp
 
-    from .models.tacotron import _generate_scan
+    from .models.tacotron import _generate_kernel_batch, _generate_scan
 
     key = key if key is not None else jax.random.PRNGKey(0)
     k_mel, k_voc = jax.random.split(key)
@@ -161,9 +164,13 @@ def tts_to_wav_batch(tts_params, voc_params, texts, cfg: Config, r: int,
                               for s in seqs]))
     lens = jnp.asarray([len(s) for s in seqs])
     steps = -(-steps // r) * r
-    _, linear, _, n_valid = _generate_scan(tts_params, x, cfg.tts, r, steps,
-                                           cfg.dsp.num_mels, k_mel,
-                                           text_lens=lens)
+    if pallas and len(seqs) <= 8:
+        _, linear, _, n_valid = _generate_kernel_batch(
+            tts_params, x, lens, cfg.tts, r, steps, cfg.dsp.num_mels, k_mel)
+    else:
+        _, linear, _, n_valid = _generate_scan(
+            tts_params, x, cfg.tts, r, steps, cfg.dsp.num_mels, k_mel,
+            text_lens=lens)
 
     n_valid = np.asarray(n_valid)              # one host sync of N scalars
     buckets = sorted(mel_buckets)
@@ -185,6 +192,9 @@ def tts_to_wav_batch(tts_params, voc_params, texts, cfg: Config, r: int,
     outs = []
     for b, (w, T_valid) in enumerate(zip(wavs, t_valids)):
         wave_valid = max(T_valid - 1, 1) * cfg.dsp.hop_length
+        if device_out:
+            outs.append((w[:wave_valid], T_valid))
+            continue
         wav = np.array(np.asarray(w)[:wave_valid], dtype=np.float32)
         n_fade = min(20 * cfg.dsp.hop_length, wave_valid)
         wav[-n_fade:] *= np.linspace(1.0, 0.0, n_fade, dtype=wav.dtype)
