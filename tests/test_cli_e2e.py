@@ -146,6 +146,23 @@ def test_gen_tacotron_wavernn_fast_cli(project):
     assert len(outs) >= 1
 
 
+def test_gen_tacotron_batch_sentences_cli(project, tmp_path):
+    """--batch_sentences synthesizes every input sentence through one
+    masked batched decode + one batched vocoder launch."""
+    root, hp = project
+    sent = tmp_path / "sents.txt"
+    sent.write_text("First test sentence.\nSecond, rather longer test "
+                    "sentence for the batch.\nThird.\n")
+    hp_b = root / "hparams_batch.py"
+    hp_b.write_text((root / "hparams_test.py").read_text()
+                    + f"\ntest_sentences_file = {str(sent)!r}\n")
+    from wavernn_tpu.cli.gen_tacotron import main
+    main(["--hp_file", str(hp_b), "wavernn", "--batch_sentences"])
+    outs = list((root / "model_outputs" / "test_tts.tacotron").glob(
+        "*wavernn_batchN*.wav"))
+    assert len(outs) == 3
+
+
 def test_af_offline_pipeline_cli(project):
     """The fork's AF-offline flow: export attn refs with the TF model, then
     train in attention_forcing_offline mode from them."""

@@ -24,6 +24,34 @@ def _report(name, ok, detail=""):
     print(f"[{name}] {'OK' if ok else 'FAIL'} {detail}", file=sys.stderr)
 
 
+#: assumed dense bf16 peak per chip, used for MFU accounting
+PEAK_BF16_TFLOPS = {"TPU v4": 275, "TPU v5 lite": 197, "TPU v5e": 197,
+                    "TPU v5": 459, "TPU v5p": 459, "TPU v6 lite": 918,
+                    "TPU v6e": 918}
+
+
+def peak_bf16_flops():
+    """Peak bf16 FLOP/s of the live chip, or None if unknown."""
+    import jax
+    kind = jax.devices()[0].device_kind
+    t = next((v for k, v in PEAK_BF16_TFLOPS.items() if kind.startswith(k)),
+             None)
+    return None if t is None else t * 1e12
+
+
+def _xla_flops(jitted, *args, **kwargs):
+    """FLOPs of one compiled call from XLA's own cost model (fwd+bwd for a
+    train step — no hand-counted estimate to go stale)."""
+    try:
+        ca = jitted.lower(*args, **kwargs).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:  # noqa: BLE001 — accounting only, never gate
+        return None
+
+
 def parity_checks(B: int = 8, T: int = 512) -> dict:
     """Scan-oracle vs Pallas-kernel waveform parity with identical injected
     noise, on the live backend. Covers MOL, RAW, the state-I/O (exact-seam)
@@ -340,6 +368,14 @@ def train_bench(steps: int = 30, batch_size: int = 32) -> dict:
 
     Dispatches `steps` steps back-to-back and fences once — measuring the
     pipelined steady state the async train_loop achieves.
+
+    Roofline (measured v5e, r4): the step is SERIAL-LATENCY bound on the
+    ~4x 1375-step GRU recurrences (fwd+bwd for rnn1/rnn2) — per-step scan
+    cost is flat from B=32 to B=128 and insensitive to lax.scan unroll
+    (1/4/8 within noise), so MFU at the reference's bs 32 sits near
+    `train_mfu_bf16` ~0.10 by construction. The TPU-native lever is batch
+    width, not step time: the `train_*_bs128` rows show ~flat steps/s at
+    4x the samples per step.
     """
     import jax
 
@@ -355,20 +391,27 @@ def train_bench(steps: int = 30, batch_size: int = 32) -> dict:
 
     rng = np.random.RandomState(0)
     mel_win = seq_len // dsp.hop_length + 2 * voc.pad
-    # stage the batch on device once — the production train_loop's prefetch
-    # thread does the same, so steady-state steps never wait on host->device
-    # transfers (re-shipping numpy per step would measure the tunnel)
-    x = jnp.asarray(rng.uniform(-1, 1, (batch_size, seq_len)).astype(np.float32))
-    y = jnp.asarray(rng.uniform(-1, 1, (batch_size, seq_len)).astype(np.float32))
-    m = jnp.asarray(rng.uniform(
-        0, 1, (batch_size, dsp.num_mels, mel_win)).astype(np.float32))
-    x.block_until_ready()
 
-    def measure(precision):
+    def batch(bs):
+        # stage the batch on device once — the production train_loop's
+        # prefetch thread does the same, so steady-state steps never wait
+        # on host->device transfers (re-shipping numpy per step would
+        # measure the tunnel)
+        x = jnp.asarray(rng.uniform(-1, 1, (bs, seq_len)).astype(np.float32))
+        y = jnp.asarray(rng.uniform(-1, 1, (bs, seq_len)).astype(np.float32))
+        m = jnp.asarray(rng.uniform(
+            0, 1, (bs, dsp.num_mels, mel_win)).astype(np.float32))
+        x.block_until_ready()
+        return x, y, m
+
+    x, y, m = batch(batch_size)
+
+    def measure(precision, data=None):
+        bx, by, bm = data if data is not None else (x, y, m)
         st = state
 
         def one(st):
-            return wt.train_step(st, x, y, m, voc, dsp, cfg.voc_train.lr,
+            return wt.train_step(st, bx, by, bm, voc, dsp, cfg.voc_train.lr,
                                  cfg.voc_train.clip_grad_norm, precision)
 
         t0 = time.time()
@@ -387,11 +430,32 @@ def train_bench(steps: int = 30, batch_size: int = 32) -> dict:
 
     sps = measure("float32")
     sps16 = measure("bfloat16")
-    _report("train", True, f"{sps:.1f} steps/s f32 / {sps16:.1f} bf16 "
-            f"(bs={batch_size}, seq={seq_len}, MOL)")
-    return {"train_steps_per_s": round(sps, 2),
-            "train_steps_per_s_bf16": round(sps16, 2),
-            "train_batch_size": batch_size, "train_seq_len": seq_len}
+    # latency-bound evidence: 4x the batch at near-flat step time
+    sps16_128 = measure("bfloat16", data=batch(128))
+    out = {"train_steps_per_s": round(sps, 2),
+           "train_steps_per_s_bf16": round(sps16, 2),
+           "train_batch_size": batch_size, "train_seq_len": seq_len,
+           "train_steps_per_s_bf16_bs128": round(sps16_128, 2),
+           "train_samples_per_s_bf16_bs128_vs_bs32": round(
+               sps16_128 * 128 / (sps16 * batch_size), 2)}
+    # roofline accounting (VERDICT r3 item 6): XLA-counted fwd+bwd FLOPs
+    # per step -> MFU, so the artifact shows whether training is compute-
+    # or latency-bound (the 1375-step GRU h-recurrence is the suspect)
+    flops = _xla_flops(wt.train_step, state, x, y, m, voc, dsp,
+                       cfg.voc_train.lr, cfg.voc_train.clip_grad_norm,
+                       "bfloat16")
+    peak = peak_bf16_flops()
+    if flops:
+        out["train_flops_per_step_gflop"] = round(flops / 1e9, 1)
+        if peak:
+            out["train_mfu_bf16"] = round(flops * sps16 / peak, 4)
+            out["train_mfu_f32"] = round(flops * sps / peak, 4)
+    _report("train", True,
+            f"{sps:.1f} steps/s f32 / {sps16:.1f} bf16 "
+            f"(bs={batch_size}, seq={seq_len}, MOL)"
+            + (f", mfu_bf16={out.get('train_mfu_bf16')}" if flops and peak
+               else ""))
+    return out
 
 
 def taco_train_bench(steps: int = 20) -> dict:
@@ -437,13 +501,21 @@ def taco_train_bench(steps: int = 20) -> dict:
 
     sps = measure("float32")
     sps16 = measure("bfloat16")
+    out = {"taco_train_steps_per_s": round(sps, 2),
+           "taco_train_steps_per_s_bf16": round(sps16, 2),
+           "taco_train_r": r, "taco_train_batch_size": bs,
+           "taco_train_mel_frames": n_frames}
+    flops = _xla_flops(tt.train_step_tf, state, x_ids, m, cfg.tts, r, lr,
+                       key, precision="bfloat16")
+    peak = peak_bf16_flops()
+    if flops:
+        out["taco_train_flops_per_step_gflop"] = round(flops / 1e9, 1)
+        if peak:
+            out["taco_train_mfu_bf16"] = round(flops * sps16 / peak, 4)
     _report("taco-train", True,
             f"{sps:.2f} steps/s f32 / {sps16:.2f} bf16 "
             f"(r={r}, bs={bs}, {n_frames} frames)")
-    return {"taco_train_steps_per_s": round(sps, 2),
-            "taco_train_steps_per_s_bf16": round(sps16, 2),
-            "taco_train_r": r, "taco_train_batch_size": bs,
-            "taco_train_mel_frames": n_frames}
+    return out
 
 
 def taco_decode_bench() -> dict:
@@ -498,9 +570,39 @@ def taco_decode_bench() -> dict:
     out["taco_group_us_scan"] = round(marginal(
         lambda s: taco._generate_scan(params, x, cfg.tts, r, s,
                                       cfg.dsp.num_mels, key)[0]), 2)
-    _report("taco-decode", out["parity_ok_taco_kernel"],
+
+    # batched decode kernel (B=8 utterances in one launch): parity at
+    # mixed lengths + per-group marginal vs the batched scan
+    B = 8
+    lens = [70, 45, 60, 30, 55, 40, 65, 50]
+    xb = jnp.asarray(np.stack(
+        [np.pad(rng.randint(1, 148, (n,)), (0, max(lens) - n))
+         for n in lens]))
+    lens_a = jnp.asarray(lens)
+    mel_kb, _, attn_kb, nv_kb = taco._generate_kernel_batch(
+        params, xb, lens_a, cfg.tts, r, 1000, cfg.dsp.num_mels, key)
+    mel_sb, _, attn_sb, nv_sb = taco._generate_scan(
+        params, xb, cfg.tts, r, 1000, cfg.dsp.num_mels, key,
+        text_lens=lens_a)
+    err_b = float(jnp.max(jnp.abs(mel_kb - mel_sb)))
+    out["taco_kernel_b8_mel_maxerr"] = err_b
+    out["parity_ok_taco_kernel_b8"] = bool(
+        np.array_equal(np.asarray(nv_kb), np.asarray(nv_sb))
+        and err_b < 5e-3)
+    out["taco_group_us_kernel_b8"] = round(marginal(
+        lambda s: taco._generate_kernel_batch(
+            params, xb, lens_a, cfg.tts, r, s, cfg.dsp.num_mels, key)[0]), 2)
+    out["taco_group_us_scan_b8"] = round(marginal(
+        lambda s: taco._generate_scan(params, xb, cfg.tts, r, s,
+                                      cfg.dsp.num_mels, key,
+                                      text_lens=lens_a)[0]), 2)
+    _report("taco-decode", out["parity_ok_taco_kernel"]
+            and out["parity_ok_taco_kernel_b8"],
             f"kernel {out['taco_group_us_kernel']} us/group vs scan "
-            f"{out['taco_group_us_scan']} us/group, mel maxerr {err:.2e}")
+            f"{out['taco_group_us_scan']} (B=1); "
+            f"{out['taco_group_us_kernel_b8']} vs "
+            f"{out['taco_group_us_scan_b8']} (B={B}, {B} utts/group), "
+            f"mel maxerr {err:.2e}/{err_b:.2e}")
     return out
 
 
@@ -624,24 +726,191 @@ def streaming_bench(chunk_frames_list=(8, 16, 32),
         # sustained: device_out mode — blocks dispatch back to back (the
         # serving loop overlaps compute with delivery), ONE fence at the
         # end. Host mode here would serialize a tunnel round trip per
-        # block and measure transport, not the vocoder.
+        # block and measure transport, not the vocoder. Run the loop twice
+        # and time the SECOND pass: the first compiles the end-fence stack
+        # program (~0.5 s through the tunnel) which otherwise lands inside
+        # the timing (the r3 inversion artifact, bench.py headline note).
         import jax.numpy as jnp
-        sv = StreamingVocoder(params, voc, dsp, jax.random.PRNGKey(1),
-                              chunk_frames=cf, device_out=True)
-        # first block outside the sustained window, fenced
-        np.asarray(jnp.stack([jnp.sum(o) for o in sv.feed(mel[:, :need])]))
-        t0 = time.perf_counter()
-        outs = []
-        for s in range(need, stream_frames, cf):
-            outs += sv.feed(mel[:, s:s + cf])
-        outs += sv.flush()
-        np.asarray(jnp.stack([jnp.sum(o) for o in outs]))
-        dt = time.perf_counter() - t0
+
+        def sustained():
+            sv = StreamingVocoder(params, voc, dsp, jax.random.PRNGKey(1),
+                                  chunk_frames=cf, device_out=True)
+            np.asarray(jnp.stack([jnp.sum(o)
+                                  for o in sv.feed(mel[:, :need])]))
+            t0 = time.perf_counter()
+            outs = []
+            for s in range(need, stream_frames, cf):
+                outs += sv.feed(mel[:, s:s + cf])
+            outs += sv.flush()
+            np.asarray(jnp.stack([jnp.sum(o) for o in outs]))
+            return time.perf_counter() - t0, outs
+
+        sustained()
+        dt, outs = sustained()
         n_sam = sum(o.shape[0] for o in outs)
         audio_s = n_sam / dsp.sample_rate
         out[f"stream_first_chunk_ms_cf{cf}"] = round(t_first * 1e3, 1)
         out[f"stream_rtf_cf{cf}"] = round(audio_s / dt, 1)
     _report("streaming", True,
+            " ".join(f"{k}={v}" for k, v in out.items()))
+    return out
+
+
+def tts_batch_bench(n_utt: int = 8, steps: int = 1000) -> dict:
+    """End-to-end BATCHED text->wav (VERDICT r3 item 1b): n_utt sentences
+    through ONE masked Tacotron decode + ONE batched vocoder launch
+    (synthesis.tts_to_wav_batch) vs the same sentences through sequential
+    tts_to_wav_fast calls — the serving flagship the reference's
+    one-sentence loop (gen_tacotron.py:142-173) never had.
+
+    Freshly-initialized weights never hit the stop threshold, so every
+    utterance runs the full `steps` bound — an upper bound per utterance
+    and a uniform-length batch (production batches are shorter + bucketed).
+    """
+    import jax
+
+    from .config import Config
+    from .models import tacotron as taco
+    from .models import wavernn as wr
+    from .synthesis import tts_to_wav_batch, tts_to_wav_fast
+
+    import jax.numpy as jnp
+
+    cfg = Config()
+    texts = [f"Utterance number {i}: scientists say they have discovered "
+             f"a new particle." for i in range(n_utt)]
+    tparams = taco.init_tacotron(jax.random.PRNGKey(0), cfg.tts,
+                                 cfg.dsp.num_mels)
+    vparams = wr.init_wavernn(jax.random.PRNGKey(1), cfg.voc, cfg.dsp)
+    r = cfg.tts_train.schedule[-1][0]
+
+    # serving protocol: device-resident outputs, ONE scalar fence — the
+    # host export costs ~80 ms/utt of pure tunnel transport that would
+    # mask the compute comparison (batch_serving_bench note); the export
+    # cost is reported separately below.
+    def run_batch(k, groups):
+        t0 = time.perf_counter()
+        outs = []
+        for g in groups:
+            outs += tts_to_wav_batch(tparams, vparams, g, cfg, r,
+                                     key=jax.random.PRNGKey(k), steps=steps,
+                                     device_out=True)
+        np.asarray(jnp.stack([jnp.sum(w) for w, _ in outs]))
+        return time.perf_counter() - t0, outs
+
+    all_in_one = [texts]
+    one_by_one = [[t] for t in texts]
+    t0 = time.time()
+    run_batch(0, all_in_one)   # compile batch path
+    run_batch(0, one_by_one[:1])  # compile the B=1 twin
+    print(f"tts-batch compile+run: {time.time() - t0:.1f}s", file=sys.stderr)
+    ts = []
+    for i in range(3):
+        dt, outs = run_batch(i + 1, all_in_one)
+        ts.append(dt)
+    t_batch = float(np.median(ts))
+    audio_s = sum(w.shape[-1] for w, _ in outs) / cfg.dsp.sample_rate
+    t0 = time.perf_counter()
+    wavs = [np.asarray(w) for w, _ in outs]
+    t_export = time.perf_counter() - t0
+    assert all(np.isfinite(w).all() for w in wavs)
+
+    t_seq = float(np.median(
+        [run_batch(100 + 10 * i, one_by_one)[0] for i in range(2)]))
+
+    out = {
+        "tts_batch8_s": round(t_batch, 3),
+        "tts_batch8_sequential_s": round(t_seq, 3),
+        "tts_batch8_speedup": round(t_seq / t_batch, 2),
+        "tts_batch8_audio_s_per_s": round(audio_s / t_batch, 1),
+        "tts_batch8_per_utt_latency_ms": round(t_batch / n_utt * 1e3, 1),
+        "tts_batch8_export_ms": round(t_export * 1e3, 1),
+    }
+    _report("tts-batch", True,
+            f"{n_utt} sentences text->wav in {t_batch*1e3:.0f}ms vs "
+            f"{t_seq*1e3:.0f}ms one-by-one ({out['tts_batch8_speedup']}x, "
+            f"{out['tts_batch8_audio_s_per_s']} audio-s/s; host export "
+            f"+{t_export*1e3:.0f}ms)")
+    return out
+
+
+def multistream_bench(n_streams: int = 8, chunk_frames: int = 16,
+                      stream_frames: int = 481) -> dict:
+    """B concurrent streaming sessions through one (B, ·) state-I/O launch
+    per block (VERDICT r3 item 3): aggregate and per-stream real-time
+    factor + first-chunk latency, vs the B=1 rows streaming_bench records.
+    The kernel's step cost is nearly flat in batch, so aggregate RTF should
+    approach B x the single-stream number."""
+    import jax
+    import jax.numpy as jnp
+
+    from .config import DSPConfig, WaveRNNConfig
+    from .models import wavernn as wr
+    from .streaming import MultiStreamVocoder
+
+    dsp = DSPConfig()
+    voc = WaveRNNConfig(mode="MOL")
+    params = wr.init_wavernn(jax.random.PRNGKey(1), voc, dsp)
+    rng = np.random.RandomState(0)
+    mels = [rng.uniform(0.2, 0.8, (dsp.num_mels, stream_frames))
+            .astype(np.float32) for _ in range(n_streams)]
+    cf = chunk_frames
+    need = cf + voc.pad
+
+    # compile warmup
+    msv = MultiStreamVocoder(params, voc, dsp, jax.random.PRNGKey(0),
+                             n_streams=n_streams, chunk_frames=cf)
+    msv.feed(0, mels[0][:, :need + 1])
+
+    # first-chunk latency with all B lanes live
+    msv = MultiStreamVocoder(params, voc, dsp, jax.random.PRNGKey(1),
+                             n_streams=n_streams, chunk_frames=cf)
+    for b in range(n_streams - 1):
+        msv.feed(b, mels[b][:, :need - 1])  # one frame short: no block yet
+    t0 = time.perf_counter()
+    msv.feed(n_streams - 1, mels[-1][:, :need])
+    # the last feed completes lane B-1's window; one batched block runs
+    t_first = time.perf_counter() - t0
+
+    # sustained: all B streams fed in lockstep, device_out, one fence.
+    # Feeds use drain=False + one poll() per tick so all B lanes share
+    # each batched block (draining per feed would launch B mostly-idle
+    # blocks per tick — measured 8x worse). Timed on the second pass so
+    # the fence-stack compile stays out of the measurement (see
+    # streaming_bench / bench.py headline note).
+    def sustained():
+        msv = MultiStreamVocoder(params, voc, dsp, jax.random.PRNGKey(1),
+                                 n_streams=n_streams, chunk_frames=cf,
+                                 device_out=True)
+        outs = []
+        for b in range(n_streams):
+            msv.feed(b, mels[b][:, :need], drain=False)
+        for ys in msv.poll().values():
+            outs += ys
+        np.asarray(jnp.stack([jnp.sum(o) for o in outs]))
+        outs = []
+        t0 = time.perf_counter()
+        for s in range(need, stream_frames, cf):
+            for b in range(n_streams):
+                msv.feed(b, mels[b][:, s:s + cf], drain=False)
+            for ys in msv.poll().values():
+                outs += ys
+        for b in range(n_streams):
+            outs += msv.flush(b)
+        np.asarray(jnp.stack([jnp.sum(o) for o in outs]))
+        return time.perf_counter() - t0, outs
+
+    sustained()
+    dt, outs = sustained()
+    audio_s = sum(o.shape[0] for o in outs) / dsp.sample_rate
+
+    out = {
+        f"stream{n_streams}_first_chunk_ms": round(t_first * 1e3, 1),
+        f"stream{n_streams}_aggregate_rtf": round(audio_s / dt, 1),
+        f"stream{n_streams}_rtf_per_stream": round(audio_s / dt / n_streams,
+                                                   2),
+    }
+    _report("multistream", True,
             " ".join(f"{k}={v}" for k, v in out.items()))
     return out
 

@@ -48,6 +48,11 @@ def main(argv=None):
                       help="device-resident serving path (one scalar sync, "
                            "length-bucketed vocoder) instead of the "
                            "reference host-roundtrip flow")
+    wr_p.add_argument("--batch_sentences", action="store_true",
+                      help="synthesize ALL input sentences together: one "
+                           "pad-masked batched Tacotron decode + one "
+                           "batched vocoder launch (tts_to_wav_batch) "
+                           "instead of the reference's per-sentence loop")
 
     gl_p = subs.add_parser("griffinlim")
     gl_p.add_argument("--iters", type=int, default=32)
@@ -107,6 +112,27 @@ def main(argv=None):
         sent_file = cfg.test_sentences_file or "test_sentences/sentences.txt"
         with open(sent_file) as f:
             inputs = [line.strip() for line in f if line.strip()]
+
+    if getattr(args, "batch_sentences", False) and args.vocoder == "wavernn":
+        from ..synthesis import tts_to_wav_batch
+        print(f"| Generating {len(inputs)} sentences in one batch")
+        outs = tts_to_wav_batch(tts_params, voc_params, inputs, cfg, r,
+                                key=jax.random.PRNGKey(1),
+                                use_pallas=getattr(args, "pallas", None),
+                                target=target, overlap=overlap,
+                                sparse_packed=sparse_packed)
+        for i, (text, (wav, m)) in enumerate(zip(inputs, outs), 1):
+            if args.input_text:
+                save_path = ws.tts_output / \
+                    f"__input_{args.input_text[:10]}_wavernn_batchN_{tts_k}k.wav"
+            else:
+                save_path = ws.tts_output / f"{i}_wavernn_batchN_{tts_k}k.wav"
+            if args.use_standard_names and cfg.test_sentences_names:
+                save_path = (ws.tts_output
+                             / f"{cfg.test_sentences_names[i - 1]}.wav")
+            save_wav(wav, save_path, cfg.dsp.sample_rate)
+        print("Done.")
+        return
 
     for i, text in enumerate(inputs, 1):
         print(f"| Generating {i}/{len(inputs)}")

@@ -40,10 +40,12 @@ from .models.wavernn import upsample_apply
 
 
 @partial(jax.jit, static_argnames=("voc", "bits", "T", "use_pallas",
-                                   "sparse_static"))
+                                   "sparse_static", "n_out", "mu_decode"))
 def _stream_block_jit(params, window, key, state, noise, voc: WaveRNNConfig,
                       bits: int, T: int, use_pallas: bool,
-                      sparse_static=(), sparse_arrays=()):
+                      sparse_static=(), sparse_arrays=(), active=None,
+                      n_out: int = 0, mu_decode: bool = False,
+                      fold_idx=None):
     """One block = ONE compiled program: window upsample -> sample loop
     with state I/O. Running the upsampler eagerly (round-3's first cut)
     dispatched dozens of per-op programs per block, which serialized the
@@ -51,19 +53,42 @@ def _stream_block_jit(params, window, key, state, noise, voc: WaveRNNConfig,
     ~10 ms of device compute at B=1).
 
     window: (n_mels, W) for one stream, or (B, n_mels, W) for B concurrent
-    streams batched through one launch (state rows follow the same B)."""
+    streams batched through one launch (state rows follow the same B).
+    active: optional (B,) bool — lanes with active=False get their state
+    restored to the input state INSIDE this program (multi-stream
+    ride-along freeze; separate select dispatches cost ~ms each of launch
+    overhead per block through a remote executor).
+    n_out > 0: return the samples as a TUPLE of n_out per-stream rows
+    instead of one (B, T) array — a multi-stream serving tick then costs
+    ONE dispatch total (per-row slicing outside was n_out extra tiny
+    programs per block, which host-bound the tick loop). mu_decode applies
+    the mu-law expansion in-program (RAW device_out mode)."""
+    if fold_idx is not None:  # per-block key derived in-program (no
+        key = jax.random.fold_in(key, fold_idx)  # split dispatch per block)
     w = window if window.ndim == 3 else window[None]
     mels_up, aux, _ = upsample_apply(params["upsample"], w, voc,
                                      training=False)
     if use_pallas:
         from .ops.pallas_gen import generate_pallas_with_state
-        return generate_pallas_with_state(
+        samples, new_state = generate_pallas_with_state(
             params, mels_up, aux, voc, bits, key, noise=noise,
             init_state=state, state_snapshot_at=T,
             sparse_static=sparse_static, sparse_arrays=sparse_arrays)
-    from .ops.sample_loop import generate_scan_with_state
-    return generate_scan_with_state(params, mels_up, aux, voc, bits, key,
-                                    noise=noise, init_state=state)
+    else:
+        from .ops.sample_loop import generate_scan_with_state
+        samples, new_state = generate_scan_with_state(
+            params, mels_up, aux, voc, bits, key, noise=noise,
+            init_state=state)
+    if active is not None and state is not None:
+        new_state = tuple(
+            jnp.where(active.reshape((-1,) + (1,) * (n.ndim - 1)), n, o)
+            for n, o in zip(new_state, state))
+    if mu_decode:
+        mu = voc.n_classes(bits) - 1
+        samples = jnp.sign(samples) / mu * ((1 + mu) ** jnp.abs(samples) - 1)
+    if n_out:
+        return tuple(samples[b] for b in range(n_out)), new_state
+    return samples, new_state
 
 
 class StreamingVocoder:
@@ -300,6 +325,7 @@ class MultiStreamVocoder:
         # per-stream mel ring: starts with the offline path's left padding
         self._bufs = [np.zeros((dsp.num_mels, voc.pad), np.float32)
                       for _ in range(n_streams)]
+        self._blocks = 0                   # per-block PRNG fold counter
         self._noise_at = [0] * n_streams   # per-stream sample position
         self._done = [False] * n_streams
         self._flushed = [False] * n_streams  # tail block already emitted
@@ -313,8 +339,9 @@ class MultiStreamVocoder:
         """Assemble (T, B, ·) replay noise from per-stream positions;
         inactive lanes get the neutral 0.5 pad."""
         if self._noise is None:
-            self.key, k = jax.random.split(self.key)
-            return k, None
+            # no split dispatch per block: the base key rides into the
+            # block program and is folded with the block counter there
+            return self.key, None
 
         def take(u, b):
             s = self._noise_at[b]
@@ -341,26 +368,24 @@ class MultiStreamVocoder:
         voc, dsp = self.voc, self.dsp
         T = self.chunk_frames * dsp.hop_length
         key, noise = self._block_noise(active, T)
-        old_state = self._state
-        samples, new_state = _stream_block_jit(
-            self.params, jnp.asarray(windows), key, old_state, noise, voc,
+        fold_idx = np.int32(self._blocks) if self._noise is None else None
+        self._blocks += 1
+        samples, self._state = _stream_block_jit(
+            self.params, jnp.asarray(windows), key, self._state, noise, voc,
             dsp.bits, T, self._pallas, sparse_static=self._sparse[0],
-            sparse_arrays=self._sparse[1])
-        amask = jnp.asarray(np.asarray(active))
-        self._state = tuple(
-            jnp.where(amask.reshape((-1,) + (1,) * (n.ndim - 1)), n, o)
-            for n, o in zip(new_state, old_state))
+            sparse_arrays=self._sparse[1],
+            active=jnp.asarray(np.asarray(active)),
+            n_out=self.n_streams if self._device_out else 0,
+            mu_decode=self.mu_law and self._device_out,
+            fold_idx=fold_idx)
         for b in range(self.n_streams):
             if active[b]:
                 self._noise_at[b] += T
-        if self.mu_law:
+        if self.mu_law and not self._device_out:
+            # host mode decodes in f64 like StreamingVocoder
             mu = voc.n_classes(dsp.bits) - 1
-            if self._device_out:
-                samples = jnp.sign(samples) / mu * (
-                    (1 + mu) ** jnp.abs(samples) - 1)
-            else:  # host mode decodes in f64 like StreamingVocoder
-                s = np.asarray(samples)
-                samples = np.sign(s) / mu * ((1 + mu) ** np.abs(s) - 1)
+            s = np.asarray(samples)
+            samples = np.sign(s) / mu * ((1 + mu) ** np.abs(s) - 1)
         return samples
 
     def _drain(self):
