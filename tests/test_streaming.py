@@ -182,7 +182,7 @@ def test_multistream_single_matches_streaming(mode, rng):
     msv = MultiStreamVocoder(params, voc, DSP, jax.random.PRNGKey(0),
                              n_streams=1, chunk_frames=7, noise=noise)
     parts = [y for _, y in sorted(msv.feed(0, mels).items())]
-    parts.append(msv.flush(0))
+    parts.append(msv.flush(0)[0])
     got = np.concatenate(parts)
     assert got.shape == want.shape == (frames * DSP.hop_length,)
     np.testing.assert_array_equal(got, want)
@@ -220,7 +220,8 @@ def test_multistream_lane_isolation(mode, rng):
                 for sb, y in msv.feed(b, src[:, lo:hi]).items():
                     got[sb].append(y)
         for b in range(B):
-            got[b].append(msv.flush(b))
+            for sb, y in msv.flush(b).items():
+                got[sb].append(y)
         return [np.concatenate(g) for g in got]
 
     # scenario A: stream 0 split 10+13, neighbours as generated, lagging
@@ -255,7 +256,8 @@ def test_multistream_device_out(rng):
         for sb, y in msv.feed(b, mels[b]).items():
             want[sb].append(y)
     for b in range(B):
-        want[b].append(msv.flush(b))
+        for sb, y in msv.flush(b).items():
+            want[sb].append(y)
 
     msv = MultiStreamVocoder(params, voc, DSP, jax.random.PRNGKey(0),
                              n_streams=B, chunk_frames=7, noise=noise,
@@ -265,11 +267,37 @@ def test_multistream_device_out(rng):
         for sb, ys in msv.feed(b, mels[b]).items():
             got[sb] += ys
     for b in range(B):
-        got[b] += msv.flush(b)
+        for sb, ys in msv.flush(b).items():
+            got[sb] += ys
     for b in range(B):
         np.testing.assert_array_equal(
             np.concatenate([np.asarray(y) for y in got[b]]),
             np.concatenate(want[b]))
+
+
+def test_multistream_flush_delivers_other_streams_pending_audio(rng):
+    """Regression: flush(b) internally drains ALL ready lanes (a
+    feed(..., drain=False) may have left other streams with full
+    windows) — their audio must be delivered in the returned dict, not
+    dropped."""
+    from wavernn_tpu.streaming import MultiStreamVocoder
+
+    voc = _cfg("MOL")
+    params = wr.init_wavernn(jax.random.PRNGKey(1), voc, DSP)
+    frames = 21  # three full 7-frame blocks
+    mels = [rng.uniform(0.2, 0.8, (DSP.num_mels, frames)).astype(np.float32)
+            for _ in range(2)]
+    noise = _noise_b(rng, voc, frames * DSP.hop_length, 2)
+
+    msv = MultiStreamVocoder(params, voc, DSP, jax.random.PRNGKey(0),
+                             n_streams=2, chunk_frames=7, noise=noise)
+    msv.feed(0, mels[0], drain=False)  # stream 0: ready blocks, undrained
+    out = msv.flush(1)                 # flushing the OTHER stream
+    # stream 0 had two complete windows pending -> 14 frames of its audio
+    # arrive with the flush instead of being dropped
+    assert 0 in out and out[0].size == 14 * DSP.hop_length
+    got = np.concatenate([out[0], msv.flush(0)[0]])
+    assert got.shape == (frames * DSP.hop_length,)
 
 
 def test_streaming_device_out_mu_law(rng):

@@ -115,6 +115,13 @@ def main(argv=None):
 
     if getattr(args, "batch_sentences", False) and args.vocoder == "wavernn":
         from ..synthesis import tts_to_wav_batch
+        if args.save_attention:
+            print("| WARNING: --save_attention is not available with "
+                  "--batch_sentences (the batched path never materializes "
+                  "attention maps); rerun without it for attention plots")
+        if fast:
+            print("| WARNING: --batch_sentences supersedes --fast (the "
+                  "batched path is already device-resident)")
         print(f"| Generating {len(inputs)} sentences in one batch")
         outs = tts_to_wav_batch(tts_params, voc_params, inputs, cfg, r,
                                 key=jax.random.PRNGKey(1),

@@ -650,7 +650,12 @@ def generate_batch(params, x_ids_list, tts: TacotronConfig, r: int,
                               for xi in x_ids_list]))
     lens = jnp.asarray([len(xi) for xi in x_ids_list])
     steps = -(-steps // r) * r
-    if impl == "pallas":
+    if impl == "pallas" and len(x_ids_list) == 1:
+        # no padding at B=1; the tuned single-utterance kernel runs ~2x
+        # the batched kernel's per-group cost
+        mel, linear, attn, n_valid = _generate_kernel(params, x, tts, r,
+                                                      steps, n_mels, key)
+    elif impl == "pallas":
         mel, linear, attn, n_valid = _generate_kernel_batch(
             params, x, lens, tts, r, steps, n_mels, key)
     else:

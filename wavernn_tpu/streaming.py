@@ -275,13 +275,19 @@ class MultiStreamVocoder:
     Streams progress INDEPENDENTLY: each has its own mel buffer; a block
     runs whenever at least one stream has a full window. Streams without a
     full window ride along with zero conditioning and have their RNN state
-    restored afterwards (one `jnp.where` on the (B, R) state rows), so a
-    stream's audio is bit-identical to running it alone at the same block
-    boundaries — lagging sessions never corrupt, and never block, the rest.
+    restored afterwards (one `jnp.where` on the (B, R) state rows), so
+    lagging sessions never corrupt, and never block, the rest. With
+    injected `noise`, a stream's audio is bit-identical to running it
+    alone at the same block boundaries (each stream consumes its own
+    noise column at its own position — tests/test_streaming.py lane
+    isolation). In production PRNG mode (noise=None) the per-block seed is
+    the base key folded with a global block counter, so a stream's draws
+    — though key-deterministic for a given overall schedule — do depend
+    on how many blocks the whole session group has run.
 
         msv = MultiStreamVocoder(params, voc, dsp, key, n_streams=8)
         ready = msv.feed(b, mel_chunk)      # {stream: samples} newly ready
-        tail  = msv.flush(b)                # finish stream b, drain its tail
+        ready = msv.flush(b)                # finish b; dict incl. its tail
 
     noise: optional per-stream injected sampling noise for deterministic
     replay — MOL: (u_mix (T, B, nr_mix), u_s (T, B)); RAW: (T, B,
@@ -441,15 +447,19 @@ class MultiStreamVocoder:
 
     def flush(self, stream: int):
         """Finish ``stream``: right-pad with `pad` zero frames (offline
-        symmetric padding), emit its remaining audio. Other streams are
-        untouched. Returns this stream's tail samples."""
+        symmetric padding) and emit its remaining audio. Returns a
+        {stream: samples} dict like `feed` — the internal drain may also
+        complete blocks OTHER streams were waiting on (e.g. after
+        feed(..., drain=False)), and their audio is delivered here rather
+        than dropped."""
         assert not self._done[stream], f"stream {stream} already flushed"
         self._done[stream] = True
         voc, dsp = self.voc, self.dsp
         self._bufs[stream] = np.concatenate(
             [self._bufs[stream], np.zeros((dsp.num_mels, voc.pad),
                                           np.float32)], axis=1)
-        out = self._drain().get(stream)
+        outs = self._drain()
+        out = outs.get(stream)
         parts = ([] if out is None else
                  (out if self._device_out else [out]))
         # final short block: zero-pad to the full window, trim the emission
@@ -468,6 +478,8 @@ class MultiStreamVocoder:
         self._flushed[stream] = True
         self._bufs[stream] = self._bufs[stream][:, :0]
         if self._device_out:
-            return parts
-        return (np.concatenate(parts) if parts
-                else np.zeros((0,), np.float32))
+            outs[stream] = parts
+        else:
+            outs[stream] = (np.concatenate(parts) if parts
+                            else np.zeros((0,), np.float32))
+        return outs

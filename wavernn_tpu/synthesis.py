@@ -164,7 +164,13 @@ def tts_to_wav_batch(tts_params, voc_params, texts, cfg: Config, r: int,
                               for s in seqs]))
     lens = jnp.asarray([len(s) for s in seqs])
     steps = -(-steps // r) * r
-    if pallas and len(seqs) <= 8:
+    if pallas and len(seqs) == 1:
+        # a 1-sentence "batch" has no padding; the tuned B=1 kernel runs
+        # ~2x the batched kernel's per-group cost
+        from .models.tacotron import _generate_kernel
+        _, linear, _, n_valid = _generate_kernel(
+            tts_params, x, cfg.tts, r, steps, cfg.dsp.num_mels, k_mel)
+    elif pallas and len(seqs) <= 8:
         _, linear, _, n_valid = _generate_kernel_batch(
             tts_params, x, lens, cfg.tts, r, steps, cfg.dsp.num_mels, k_mel)
     else:
