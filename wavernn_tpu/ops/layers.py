@@ -201,6 +201,12 @@ def gru(p, xs, h0=None):
 def bigru(p_fwd, p_bwd, xs, h0=None, lens=None):
     """Bidirectional GRU: concat(fwd, reversed(bwd(reversed(x)))).
 
+    Two sequential scans. (A fused single-scan variant advancing both
+    directions per step was measured SLOWER on v5e — 12.5 vs 11.0 ms at
+    B=1/T=1024/H=128 — the XLA scan step at these widths is bounded by its
+    body work, not fixed per-step overhead, so halving the step count
+    while doubling the body buys nothing.)
+
     lens: optional (B,) true sequence lengths for right-padded batches.
     The forward pass needs nothing (output at t depends on [0..t] only),
     but a naive flip would make the backward GRU integrate the pad tail

@@ -81,3 +81,37 @@ def save_spectrogram(M, path, length=None):
     plt.imshow(M, interpolation="nearest", aspect="auto")
     fig.savefig(f"{path}.png", bbox_inches="tight")
     plt.close(fig)
+
+
+def plot(array, path=None):
+    """Interactive waveform/curve plot for notebook sessions
+    (reference utils/display.py:100-111). Shows the figure when a GUI
+    backend is live; pass ``path`` to save a png instead (headless)."""
+    plt = _plt()
+    fig = plt.figure(figsize=(30, 5))
+    ax = fig.add_subplot(111)
+    for axis in (ax.xaxis, ax.yaxis):
+        axis.label.set_color("grey")
+        axis.label.set_fontsize(23)
+    ax.tick_params(axis="x", colors="grey", labelsize=23)
+    ax.tick_params(axis="y", colors="grey", labelsize=23)
+    ax.plot(np.asarray(array))
+    if path is not None:
+        fig.savefig(f"{path}.png", bbox_inches="tight")
+        plt.close(fig)
+        return
+    plt.show()
+
+
+def plot_spec(M, path=None):
+    """Interactive spectrogram plot (reference utils/display.py:114-120);
+    pass ``path`` to save a png instead (headless)."""
+    plt = _plt()
+    fig = plt.figure(figsize=(18, 4))
+    plt.imshow(np.flip(np.asarray(M), axis=0), interpolation="nearest",
+               aspect="auto")
+    if path is not None:
+        fig.savefig(f"{path}.png", bbox_inches="tight")
+        plt.close(fig)
+        return
+    plt.show()
