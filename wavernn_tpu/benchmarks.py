@@ -369,13 +369,13 @@ def train_bench(steps: int = 30, batch_size: int = 32) -> dict:
     Dispatches `steps` steps back-to-back and fences once — measuring the
     pipelined steady state the async train_loop achieves.
 
-    Roofline (measured v5e, r4): the step is SERIAL-LATENCY bound on the
-    ~4x 1375-step GRU recurrences (fwd+bwd for rnn1/rnn2) — per-step scan
-    cost is flat from B=32 to B=128 and insensitive to lax.scan unroll
-    (1/4/8 within noise), so MFU at the reference's bs 32 sits near
-    `train_mfu_bf16` ~0.10 by construction. The TPU-native lever is batch
-    width, not step time: the `train_*_bs128` rows show ~flat steps/s at
-    4x the samples per step.
+    Roofline (measured v5e, r4): the step is bound by the ~4x 1375-step
+    GRU recurrences (fwd+bwd for rnn1/rnn2) — insensitive to lax.scan
+    unroll (1/4/8 within noise), so MFU at the reference's bs 32 sits
+    near `train_mfu_bf16` ~0.10. Batch width helps sub-linearly: bs 128
+    runs at ~0.43x the step rate = ~1.7x the samples/s (the
+    `train_*_bs128` rows), i.e. the scan step is part fixed overhead,
+    part width-scaling work.
     """
     import jax
 
