@@ -276,6 +276,42 @@ def test_tts_to_wav_batch_cpu(rng):
         np.testing.assert_allclose(mel, mel_solo, atol=2e-5)
 
 
+def test_tts_to_wav_batch_device_out(rng):
+    """device_out returns (device wav trimmed to true length, T_valid)
+    pairs whose host export matches the host path up to the deferred tail
+    fade (the serving protocol the tts-batch bench measures)."""
+    import dataclasses
+
+    from wavernn_tpu.config import Config
+    from wavernn_tpu.models import tacotron as taco
+    from wavernn_tpu.synthesis import tts_to_wav_batch
+
+    cfg = Config()
+    tts = dataclasses.replace(cfg.tts, embed_dims=16, encoder_dims=128,
+                              decoder_dims=256, postnet_dims=16, encoder_K=2,
+                              lstm_dims=32, postnet_K=2, num_highways=1)
+    cfg = dataclasses.replace(
+        cfg, tts=tts, voc=dataclasses.replace(
+            cfg.voc, rnn_dims=32, fc_dims=32, compute_dims=16,
+            res_out_dims=32, res_blocks=1))
+    tp = taco.init_tacotron(jax.random.PRNGKey(0), cfg.tts, cfg.dsp.num_mels)
+    vp = wr.init_wavernn(jax.random.PRNGKey(1), cfg.voc, cfg.dsp)
+    texts = ["hi", "slightly longer sentence"]
+    kw = dict(steps=64, mel_buckets=(16, 32, 64), use_pallas=False,
+              key=jax.random.PRNGKey(7))
+    host = tts_to_wav_batch(tp, vp, texts, cfg, r=2, **kw)
+    dev = tts_to_wav_batch(tp, vp, texts, cfg, r=2, device_out=True, **kw)
+    for (wav_h, mel_h), (wav_d, T_valid) in zip(host, dev):
+        assert T_valid == mel_h.shape[1]
+        wav_d = np.asarray(wav_d)
+        assert wav_d.shape == wav_h.shape
+        n_fade = min(20 * cfg.dsp.hop_length, wav_d.shape[0])
+        # identical before the host-side tail fade; the fade region is the
+        # caller's job in device_out mode
+        np.testing.assert_allclose(wav_d[:-n_fade], wav_h[:-n_fade],
+                                   atol=1e-6)
+
+
 def test_fused_state_kernel_matches_materialized_state(rng):
     """Fused state-I/O kernel vs the materialized state kernel: same
     samples, same boundary snapshot, honors init_state (interpret mode,
