@@ -12,7 +12,7 @@ import pytest
 
 from wavernn_tpu.config import TacotronConfig
 from wavernn_tpu.models import tacotron as taco
-from wavernn_tpu.ops.pallas_taco import decode_pallas
+from wavernn_tpu.ops.pallas_taco import G_CHUNK, decode_pallas
 
 N_MELS = 80
 
@@ -209,3 +209,53 @@ def test_generate_batch_kernel_impl_matches_scan():
         np.testing.assert_allclose(mk, ms, atol=2e-4)
         np.testing.assert_allclose(lk, ls, atol=2e-3)
         np.testing.assert_allclose(ak, asn, atol=2e-5)
+
+
+def test_batched_decode_long_text_two_tiles():
+    """T_text > 113 pushes T_pad to 256 (two sublane tiles): the shared
+    rolls of the replicated attention planes and the per-b context dots
+    must stay exact across the tile boundary."""
+    from wavernn_tpu.ops.pallas_taco import decode_pallas_batch
+
+    tts = _tts()
+    lens = [150, 40, 120]
+    params, x, lens_a, enc, encp, tm = _setup_batch(tts, lens, seed=7)
+    r, steps = 2, 16
+    mel_k, attn_k, nv_k = decode_pallas_batch(params, enc, encp, tm, tts, r,
+                                              steps, N_MELS, interpret=True)
+    mel_s, attn_s, nv_s = _scan_batch(params, x, lens_a, tts, r, steps)
+    np.testing.assert_array_equal(np.asarray(nv_k), nv_s)
+    np.testing.assert_allclose(np.asarray(mel_k), mel_s, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(attn_k), attn_s, atol=2e-5)
+
+
+def test_batched_decode_multiple_grid_chunks():
+    """steps/r beyond one G_CHUNK(=128) grid step: output indexing, LIVE
+    state carry-over across the grid boundary (no-stop regime), and the
+    all-stopped replay spanning later chunks (stop regime)."""
+    from wavernn_tpu.ops.pallas_taco import decode_pallas_batch
+
+    r = 2
+    lens = [9, 6]
+    # stop regime: everything freezes in chunk 0, chunks 1-2 replay
+    tts_stop = dataclasses.replace(_tts(), stop_threshold=10.0)
+    params, x, lens_a, enc, encp, tm = _setup_batch(tts_stop, lens, seed=9)
+    steps = 2 * G_CHUNK * r + 8  # 2 full grid chunks + a partial third
+    mel_k, attn_k, nv_k = decode_pallas_batch(params, enc, encp, tm,
+                                              tts_stop, r, steps, N_MELS,
+                                              interpret=True)
+    mel_s, attn_s, nv_s = _scan_batch(params, x, lens_a, tts_stop, r, steps)
+    np.testing.assert_array_equal(np.asarray(nv_k), nv_s)
+    np.testing.assert_allclose(np.asarray(mel_k), mel_s, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(attn_k), attn_s, atol=2e-5)
+
+    # no-stop regime: live recurrent state must cross the chunk boundary
+    tts = _tts()
+    params, x, lens_a, enc, encp, tm = _setup_batch(tts, lens, seed=9)
+    steps = (G_CHUNK + 4) * r
+    mel_k, attn_k, nv_k = decode_pallas_batch(params, enc, encp, tm, tts, r,
+                                              steps, N_MELS, interpret=True)
+    mel_s, attn_s, nv_s = _scan_batch(params, x, lens_a, tts, r, steps)
+    np.testing.assert_array_equal(np.asarray(nv_k), nv_s)
+    np.testing.assert_allclose(np.asarray(mel_k), mel_s, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(attn_k), attn_s, atol=2e-5)
