@@ -298,3 +298,32 @@ def test_generate_multi_single_program_fused(rng):
         d = np.asarray(d)
         assert d.shape == h.shape
         np.testing.assert_allclose(d, h.astype(np.float32), atol=2e-4)
+
+
+def test_generate_multi_tail_fade_opt_out(rng):
+    """tail_fade=False must skip the 20*hop end fade in BOTH the host and
+    device post-processing paths (bucket-padded callers fade at the true
+    utterance end themselves; a fade here would double-attenuate)."""
+    import jax.numpy as jnp
+
+    voc = _small_cfg("MOL")
+    params = wr.init_wavernn(jax.random.PRNGKey(3), voc, DSP)
+    mels_list = [rng.uniform(0, 1, (DSP.num_mels, f)).astype(np.float32)
+                 for f in (30, 24)]
+    kw = dict(target=2200, overlap=550, use_pallas=False)
+
+    for device_out in (False, True):
+        faded = wr.generate_multi(params, mels_list, voc, DSP,
+                                  jax.random.PRNGKey(0), tail_fade=True,
+                                  device_out=device_out, **kw)
+        plain = wr.generate_multi(params, mels_list, voc, DSP,
+                                  jax.random.PRNGKey(0), tail_fade=False,
+                                  device_out=device_out, **kw)
+        for wf, wp in zip(faded, plain):
+            wf, wp = np.asarray(wf), np.asarray(wp)
+            n_fade = 20 * DSP.hop_length
+            # identical before the fade window...
+            np.testing.assert_allclose(wp[:-n_fade], wf[:-n_fade], atol=1e-6)
+            # ...and the faded version attenuates toward zero at the end
+            assert abs(wf[-1]) <= 1e-6
+            assert not np.allclose(wp[-n_fade:], wf[-n_fade:])

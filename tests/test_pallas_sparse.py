@@ -334,3 +334,68 @@ def test_fused_kernel_sparse_matches_dense(rng):
                                    sparse_packed=packed, **kw))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_multistream_sparse_matches_dense(rng):
+    """Pruned MULTI-stream serving: MultiStreamVocoder with sparse_packed
+    matches the dense stream under the same injected noise (the sparse
+    schedule rides the same state-I/O block program)."""
+    from wavernn_tpu.streaming import MultiStreamVocoder
+
+    mparams, voc, dsp, packed = _mxu_block_pruned(rng)
+    B, frames = 2, 16
+    mels = [rng.uniform(0.2, 0.8, (dsp.num_mels, frames)).astype(np.float32)
+            for _ in range(B)]
+    T = frames * dsp.hop_length
+    noise = jnp.asarray(rng.uniform(
+        1e-9, 1.0, (T, B, 2 ** dsp.bits)).astype(np.float32))
+
+    # interpret-mode shim for the pallas state-I/O path on CPU
+    import wavernn_tpu.streaming as S
+    real = S._stream_block_jit
+
+    def interp(params, window, key, state, noise_, voc_, bits, T_, up,
+               sparse_static=(), sparse_arrays=(), active=None, n_out=0,
+               mu_decode=False, fold_idx=None):
+        from wavernn_tpu.models.wavernn import upsample_apply
+        from wavernn_tpu.ops.pallas_gen import generate_pallas_with_state
+        if fold_idx is not None:
+            key = jax.random.fold_in(key, fold_idx)
+        w = window if window.ndim == 3 else window[None]
+        mels_up, aux, _ = upsample_apply(params["upsample"], w, voc_,
+                                         training=False)
+        samples, new_state = generate_pallas_with_state(
+            params, mels_up, aux, voc_, bits, key, noise=noise_,
+            init_state=state, state_snapshot_at=T_, interpret=True,
+            sparse_static=sparse_static, sparse_arrays=sparse_arrays)
+        if active is not None and state is not None:
+            new_state = tuple(
+                jnp.where(active.reshape((-1,) + (1,) * (n.ndim - 1)), n, o)
+                for n, o in zip(new_state, state))
+        if n_out:
+            return tuple(samples[b] for b in range(n_out)), new_state
+        return samples, new_state
+
+    def run(sparse_packed):
+        msv = MultiStreamVocoder(mparams, voc, dsp, jax.random.PRNGKey(0),
+                                 n_streams=B, chunk_frames=7, mu_law=False,
+                                 noise=noise, sparse_packed=sparse_packed)
+        msv._pallas = True
+        got = [[] for _ in range(B)]
+        for b in range(B):
+            for sb, y in msv.feed(b, mels[b]).items():
+                got[sb].append(y)
+        for b in range(B):
+            for sb, y in msv.flush(b).items():
+                got[sb].append(y)
+        return [np.concatenate(g) for g in got]
+
+    S._stream_block_jit = interp
+    try:
+        want = run(None)
+        got = run(packed)
+    finally:
+        S._stream_block_jit = real
+    for g, w in zip(got, want):
+        assert g.shape == w.shape == (T,)
+        np.testing.assert_allclose(g, w, atol=2e-4)
