@@ -112,6 +112,11 @@ class WaveRNNTrainConfig:
     # "bfloat16" = mixed-precision core compute (f32 master weights /
     # optimizer / BatchNorm stats); TPU-native extension, not in reference
     precision: str = "float32"
+    # training-recurrence engine: "auto" = persistent-weights Pallas
+    # kernels (ops/pallas_gru.py, fwd + custom VJP) on a single-chip TPU,
+    # lax.scan elsewhere; "scan"/"pallas" force one. The TPU answer to the
+    # reference's cuDNN fused GRU (fatchord_version.py:117-119).
+    recurrence: str = "auto"
     # magnitude pruning as a first-class training option (reference
     # notebooks/Pruning - Scratchpad.ipynb cells 4-6: Pruner with cubic
     # schedule; demo start=10, steps=20k, target 0.9375). prune_block
@@ -128,6 +133,9 @@ class WaveRNNTrainConfig:
 
     def __post_init__(self):
         _check_precision(self.precision)
+        if self.recurrence not in ("auto", "scan", "pallas"):
+            raise ValueError(
+                f"recurrence must be auto/scan/pallas, got {self.recurrence!r}")
         if not 0.0 <= self.prune_sparsity < 1.0:
             raise ValueError(
                 f"prune_sparsity must be in [0, 1), got {self.prune_sparsity}")
@@ -172,6 +180,10 @@ class TacotronTrainConfig:
     # "bfloat16" = mixed-precision core compute (f32 master weights /
     # optimizer / BatchNorm stats / attention normalization)
     precision: str = "float32"
+    # "auto" = run the CBHG BiGRUs (encoder + postnet) on the Pallas
+    # training-recurrence kernels (ops/pallas_gru.py) on a single-chip
+    # TPU; lax.scan elsewhere. The decoder group scan always stays XLA.
+    recurrence: str = "auto"
     # fork extras (scripts/hparams_af_*.py)
     init_weights_path: Optional[str] = None
     attn_loss_coeff: float = 1.0
@@ -180,6 +192,9 @@ class TacotronTrainConfig:
 
     def __post_init__(self):
         _check_precision(self.precision)
+        if self.recurrence not in ("auto", "scan", "pallas"):
+            raise ValueError(
+                f"recurrence must be auto/scan/pallas, got {self.recurrence!r}")
 
 
 @dataclass(frozen=True)
@@ -257,6 +272,7 @@ class Config:
             clip_grad_norm=g("voc_clip_grad_norm", 4.0),
             init_weights_path=g("voc_init_weights_path"),
             precision=g("voc_precision", "float32"),
+            recurrence=g("voc_recurrence", "auto"),
             prune=g("voc_prune", False),
             prune_start=g("voc_prune_start", 20_000),
             prune_steps=g("voc_prune_steps", 200_000),
@@ -289,6 +305,7 @@ class Config:
             clip_grad_norm=g("tts_clip_grad_norm", 1.0),
             checkpoint_every=g("tts_checkpoint_every", 2_000),
             precision=g("tts_precision", "float32"),
+            recurrence=g("tts_recurrence", "auto"),
             init_weights_path=g("tts_init_weights_path"),
             attn_loss_coeff=g("attn_loss_coeff", 1.0),
             attn_ref_path=g("attn_ref_path"),

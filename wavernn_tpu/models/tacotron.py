@@ -145,7 +145,7 @@ def _maxpool_k2_s1(x):
     return jnp.maximum(xp[:, :, :-1], xp[:, :, 1:])  # length T, == out[:T]
 
 
-def cbhg_apply(p, x, training: bool, lens=None):
+def cbhg_apply(p, x, training: bool, lens=None, engine: str = "scan"):
     """x: (B, C_in, T) -> (B, T, 2*channels); returns (y, new_params).
 
     lens: optional (B,) true sequence lengths for right-padded batches
@@ -202,11 +202,13 @@ def cbhg_apply(p, x, training: bool, lens=None):
     # pad rows entering the BiGRU are garbage (positionwise highways of
     # BN(0)) but never reach a valid output: the forward scan is causal and
     # the length-aware backward scan consumes real text first
-    y = L.bigru(p["rnn_fwd"], p["rnn_bwd"], h, lens=lens)
+    y = L.bigru(p["rnn_fwd"], p["rnn_bwd"], h, lens=lens,
+                engine=engine)
     return y, new_p
 
 
-def encoder_apply(p, x_ids, key, training: bool, dropout: float, lens=None):
+def encoder_apply(p, x_ids, key, training: bool, dropout: float,
+                  lens=None, engine: str = "scan"):
     """x_ids: (B, T_text) -> (B, T_text, 2*encoder_dims).
 
     lens: see cbhg_apply — batched generation masks pad positions so each
@@ -214,7 +216,7 @@ def encoder_apply(p, x_ids, key, training: bool, dropout: float, lens=None):
     x = L.embedding(p["embedding"], x_ids)
     x = prenet_apply(p["prenet"], x, key, training, dropout)
     y, new_cbhg = cbhg_apply(p["cbhg"], jnp.swapaxes(x, 1, 2), training,
-                             lens=lens)
+                             lens=lens, engine=engine)
     return y, {"embedding": p["embedding"], "prenet": p["prenet"],
                "cbhg": new_cbhg}
 
@@ -277,13 +279,22 @@ def decoder_step(p, encoder_seq, encoder_seq_proj, prenet_in,
                  state: DecoderState, tts: TacotronConfig, r: int,
                  n_mels: int, key, training: bool,
                  attn_ref: Optional[jnp.ndarray] = None,
-                 text_mask: Optional[jnp.ndarray] = None):
+                 text_mask: Optional[jnp.ndarray] = None,
+                 prenet_precomputed: bool = False):
     """One decoder group step (tacotron.py:229-286).
 
+    prenet_in: (B, n_mels) frame, or — when ``prenet_precomputed`` — the
+    already-prenet'd (B, prenet_dims[-1]) features (teacher forcing hoists
+    the prenet over all groups: its input is ground truth, not decoder
+    state, so its two per-step (B, ·) GEMMs become one (B*n_groups, ·)
+    MXU GEMM pair outside the scan).
     Returns (mels (B, n_mels, r), scores (B, T_text), new_state)."""
     k_pre, k_z1, k_z2 = jax.random.split(key, 3)
-    prenet_out = prenet_apply(p["prenet"], prenet_in, k_pre, training,
-                              tts.dropout)
+    if prenet_precomputed:
+        prenet_out = prenet_in
+    else:
+        prenet_out = prenet_apply(p["prenet"], prenet_in, k_pre, training,
+                                  tts.dropout)
     attn_rnn_in = jnp.concatenate([state.context, prenet_out], axis=-1)
     attn_hidden = L.gru_cell(p["attn_rnn"], attn_rnn_in, state.attn_hidden)
 
@@ -337,11 +348,13 @@ def _cast_params_except_bn(p, dtype):
 
 
 @partial(jax.jit, static_argnames=("tts", "r", "mode", "training",
-                                   "generate_gta", "compute_dtype"))
+                                   "generate_gta", "compute_dtype",
+                                   "recurrence"))
 def forward(params, x_ids, m, tts: TacotronConfig, r: int, key,
             mode: str = "teacher_forcing", training: bool = True,
             attn_ref: Optional[jnp.ndarray] = None,
-            generate_gta: bool = False, compute_dtype=None):
+            generate_gta: bool = False, compute_dtype=None,
+            recurrence: str = "scan"):
     """Full forward (tacotron.py:319-379).
 
     x_ids: (B, T_text); m: (B, n_mels, steps) target mels (steps % r == 0).
@@ -364,9 +377,15 @@ def forward(params, x_ids, m, tts: TacotronConfig, r: int, key,
     B, n_mels, steps = m.shape
     n_groups = steps // r
 
-    k_enc, k_dec = jax.random.split(key)
+    k_enc, k_dec, k_pre = jax.random.split(key, 3)
+    # recurrence="pallas": the CBHG BiGRUs (encoder + postnet) run on
+    # the persistent-weights training kernels (ops/pallas_gru.py via
+    # ops.layers.gru engine) — the decoder group scan stays XLA (its
+    # step is attention+LSTMs, not a plain GRU recurrence)
+    eng = recurrence if training else "scan"
     encoder_seq, new_enc = encoder_apply(params["encoder"], x_ids, k_enc,
-                                         training, tts.dropout)
+                                         training, tts.dropout,
+                                         engine=eng)
     encoder_seq_proj = L.linear(params["encoder_proj"], encoder_seq)
 
     T_text = x_ids.shape[1]
@@ -380,15 +399,23 @@ def forward(params, x_ids, m, tts: TacotronConfig, r: int, key,
         tf_in = jnp.concatenate(
             [jnp.zeros((B, n_mels, 1), m.dtype), m[:, :, r - 1::r][:, :, :-1]],
             axis=2)  # (B, n_mels, n_groups); group 0 gets the GO frame
+        # HOIST the prenet: in TF mode its input is ground truth, not
+        # decoder state, so all n_groups steps run as one (G*B, ·) GEMM
+        # pair on the MXU instead of 2 small GEMMs inside the scan
+        # (always-on dropout drawn for the whole sequence at once)
+        pre_all = prenet_apply(
+            dec["prenet"],
+            jnp.moveaxis(tf_in, 2, 0).reshape(n_groups * B, n_mels),
+            k_pre, training, tts.dropout).reshape(n_groups, B, -1)
 
         def step(state, inp):
-            k, gt_in = inp
+            k, pre_in = inp
             mels, scores, state = decoder_step(
-                dec, encoder_seq, encoder_seq_proj, gt_in, state, tts, r,
-                n_mels, k, training)
+                dec, encoder_seq, encoder_seq_proj, pre_in, state, tts, r,
+                n_mels, k, training, prenet_precomputed=True)
             return state, (mels, scores)
 
-        xs = (step_keys, jnp.moveaxis(tf_in, 2, 0))
+        xs = (step_keys, pre_all)
         _, (mel_groups, attn_scores) = jax.lax.scan(step, state0, xs)
     elif mode in ("attention_forcing_online", "attention_forcing_offline"):
         assert attn_ref is not None, \
@@ -418,7 +445,8 @@ def forward(params, x_ids, m, tts: TacotronConfig, r: int, key,
     mel_out = jnp.moveaxis(mel_groups, 0, 2).reshape(B, n_mels, steps)
     attn = jnp.swapaxes(attn_scores, 0, 1)  # (B, n_groups, T_text)
 
-    postnet_out, new_postnet = cbhg_apply(params["postnet"], mel_out, training)
+    postnet_out, new_postnet = cbhg_apply(params["postnet"], mel_out,
+                                          training, engine=eng)
     linear = L.linear(params["post_proj"], postnet_out)
     linear = jnp.swapaxes(linear, 1, 2)
 
@@ -630,9 +658,10 @@ def generate_batch(params, x_ids_list, tts: TacotronConfig, r: int,
     """Serving path: free-running decode for a BATCH of sentences in one
     compiled program (pad-to-max text lengths; per-utterance stop masks).
 
-    impl: "pallas" (batched persistent-weights decode kernel, B <= 8),
-    "scan" (XLA lax.scan), or "auto" = pallas on TPU backends when the
-    batch fits the kernel's 8 sublane rows, scan elsewhere.
+    impl: "pallas" (batched persistent-weights decode kernel — utterances
+    pack 8 per sublane-row group, groups tile the kernel grid, so any
+    serving batch size stays on the kernel), "scan" (XLA lax.scan), or
+    "auto" = pallas on TPU backends, scan elsewhere.
 
     Returns a list of (mel, linear, attn) numpy triples, each trimmed to
     its own stop step. Pad-to-max text lengths are masked out of the
@@ -643,8 +672,7 @@ def generate_batch(params, x_ids_list, tts: TacotronConfig, r: int,
         key = jax.random.PRNGKey(0)
     if impl == "auto":
         from ..utils.backend import use_pallas_default
-        impl = ("pallas" if use_pallas_default() and len(x_ids_list) <= 8
-                else "scan")
+        impl = "pallas" if use_pallas_default() else "scan"
     max_len = max(len(x) for x in x_ids_list)
     x = jnp.asarray(np.stack([np.pad(np.asarray(xi), (0, max_len - len(xi)))
                               for xi in x_ids_list]))

@@ -155,7 +155,7 @@ def upsample_apply(p, mels, voc: WaveRNNConfig, training: bool = False):
 
 
 def forward(params, x, mels, voc: WaveRNNConfig, training: bool = False,
-            compute_dtype=None):
+            compute_dtype=None, recurrence: str = "scan"):
     """Teacher-forced forward (fatchord_version.py:131-167).
 
     x: (B, T) previous samples (floats in [-1,1]);
@@ -164,10 +164,24 @@ def forward(params, x, mels, voc: WaveRNNConfig, training: bool = False,
     mixed-precision training: the upsampler (BatchNorm batch statistics)
     stays f32, core weights/activations are cast on entry, logits are cast
     back to f32 on exit; master params and gradients remain f32.
+    recurrence: "scan" (portable lax.scan GRUs) or "pallas" — the
+    persistent-weights training-recurrence kernels with a custom VJP
+    (ops/pallas_gru.py; the TPU answer to the reference's cuDNN fused GRU,
+    fatchord_version.py:117-119).  With "pallas" the whole core stack runs
+    TIME-MAJOR so the kernels' (T, B, ·) streams need no per-layer
+    transposes.  "pallas_interpret" = same path in interpret mode (CPU
+    parity tests).  Identical math either way.
     Returns (logits (B, T, n_classes), new_params).
     """
     a = voc.aux_dims
     mels_up, aux, new_up = upsample_apply(params["upsample"], mels, voc, training)
+    if recurrence != "scan" and training:
+        # keep the upsampler's conv backward off the time-major core's
+        # transposed cotangents (ops.layers.grad_barrier: XLA otherwise
+        # fuses the relayout into the depthwise conv bwd operand at 42x
+        # cost — 21 ms of a 33 ms step measured on v5e)
+        mels_up = L.grad_barrier(mels_up)
+        aux = L.grad_barrier(aux)
 
     core = {k: params[k] for k in ("I", "rnn1", "rnn2", "fc1", "fc2", "fc3")}
     if compute_dtype is not None:
@@ -178,17 +192,47 @@ def forward(params, x, mels, voc: WaveRNNConfig, training: bool = False,
                            for v in (x, mels_up, aux))
     a1, a2, a3, a4 = (aux[..., i * a:(i + 1) * a] for i in range(4))
 
-    h = jnp.concatenate([x[..., None], mels_up, a1], axis=-1)
-    h = L.linear(core["I"], h)
-    res = h
-    h, _ = L.gru(core["rnn1"], h)
-    h = h + res
-    res = h
-    h, _ = L.gru(core["rnn2"], jnp.concatenate([h, a2], axis=-1))
-    h = h + res
-    h = jax.nn.relu(L.linear(core["fc1"], jnp.concatenate([h, a3], axis=-1)))
-    h = jax.nn.relu(L.linear(core["fc2"], jnp.concatenate([h, a4], axis=-1)))
-    logits = L.linear(core["fc3"], h).astype(jnp.float32)
+    if recurrence != "scan":
+        from ..ops.pallas_gru import gru_seq_tm
+        interpret = recurrence == "pallas_interpret"
+        tm = lambda v: jnp.swapaxes(v, 0, 1)
+        h = jnp.concatenate([x[..., None], mels_up, a1], axis=-1)
+        h = tm(L.linear(core["I"], h))               # ONE (B,T)->(T,B) flip
+        # kernel time-block size: the double-buffered gi/ys/sv streams per
+        # block scale with B*chunk — shrink chunk at wide batch so the
+        # blocks stay inside the VMEM budget (B=128 at chunk 64 OOMs)
+        Bsz = h.shape[1]
+        ck = 64 if Bsz <= 32 else max(8, 2048 // Bsz)
+        res = h
+        gi1 = h @ core["rnn1"]["wi"] + core["rnn1"]["bi"]
+        h = gru_seq_tm(gi1, core["rnn1"]["wh"], core["rnn1"]["bh"],
+                       jnp.zeros((h.shape[1], core["rnn1"]["wh"].shape[0]),
+                                 h.dtype), ck, interpret)
+        h = h + res
+        res = h
+        gi2 = (jnp.concatenate([h, tm(a2)], axis=-1) @ core["rnn2"]["wi"]
+               + core["rnn2"]["bi"])
+        h = gru_seq_tm(gi2, core["rnn2"]["wh"], core["rnn2"]["bh"],
+                       jnp.zeros((h.shape[1], core["rnn2"]["wh"].shape[0]),
+                                 h.dtype), ck, interpret)
+        h = h + res
+        h = jax.nn.relu(L.linear(core["fc1"],
+                                 jnp.concatenate([h, tm(a3)], axis=-1)))
+        h = jax.nn.relu(L.linear(core["fc2"],
+                                 jnp.concatenate([h, tm(a4)], axis=-1)))
+        logits = tm(L.linear(core["fc3"], h)).astype(jnp.float32)
+    else:
+        h = jnp.concatenate([x[..., None], mels_up, a1], axis=-1)
+        h = L.linear(core["I"], h)
+        res = h
+        h, _ = L.gru(core["rnn1"], h)
+        h = h + res
+        res = h
+        h, _ = L.gru(core["rnn2"], jnp.concatenate([h, a2], axis=-1))
+        h = h + res
+        h = jax.nn.relu(L.linear(core["fc1"], jnp.concatenate([h, a3], axis=-1)))
+        h = jax.nn.relu(L.linear(core["fc2"], jnp.concatenate([h, a4], axis=-1)))
+        logits = L.linear(core["fc3"], h).astype(jnp.float32)
 
     new_params = dict(params)
     new_params["upsample"] = new_up

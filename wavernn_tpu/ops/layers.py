@@ -171,7 +171,7 @@ def gru_cell(p, x, h):
     return (1.0 - z) * n + z * h
 
 
-def gru(p, xs, h0=None, unroll: int = 8):
+def gru(p, xs, h0=None, unroll: int = 8, engine: str = "scan"):
     """Full-sequence GRU via lax.scan. xs: (B, T, in) -> (B, T, H).
 
     The x-side matmul for the whole sequence is hoisted out of the scan so
@@ -183,11 +183,27 @@ def gru(p, xs, h0=None, unroll: int = 8):
     full fwd+bwd train step is unchanged (interleaved A/B: 18.3 vs 18.4
     f32 steps/s) — autodiff's backward scans don't inherit the unroll and
     dominate there. Identical math either way.
+
+    engine="pallas" ("pallas_interpret" on CPU) runs the recurrence as the
+    persistent-weights training kernels (ops/pallas_gru.py, fwd + custom
+    VJP) — same math, ~4x cheaper fwd+bwd than the scan under autodiff
+    (XLA's backward scan re-materializes gates and re-reads weights every
+    step). Used by training paths (WaveRNN core, Tacotron CBHG BiGRUs).
     """
     B, T, _ = xs.shape
     H = p["wh"].shape[0]
     if h0 is None:
         h0 = jnp.zeros((B, H), xs.dtype)
+    if engine != "scan":
+        from .pallas_gru import gru_seq_tm
+        xs = grad_barrier(xs)  # keep conv-stack backwards off the
+        # transposed cotangent (kOutput refusion pathology — grad_barrier)
+        gi_tm = jnp.swapaxes(xs @ p["wi"] + p["bi"], 0, 1)
+        ck = 64 if B <= 32 else max(8, 2048 // B)
+        ys_tm = gru_seq_tm(gi_tm, p["wh"], p["bh"], h0, ck,
+                           engine == "pallas_interpret")
+        ys = jnp.swapaxes(ys_tm, 0, 1)
+        return ys, ys[:, -1]
     gi_all = xs @ p["wi"] + p["bi"]  # (B, T, 3H) — parallel over time
 
     def step(h, gi):
@@ -205,7 +221,7 @@ def gru(p, xs, h0=None, unroll: int = 8):
     return jnp.swapaxes(ys, 0, 1), hT
 
 
-def bigru(p_fwd, p_bwd, xs, h0=None, lens=None):
+def bigru(p_fwd, p_bwd, xs, h0=None, lens=None, engine: str = "scan"):
     """Bidirectional GRU: concat(fwd, reversed(bwd(reversed(x)))).
 
     Two sequential scans. (A fused single-scan variant advancing both
@@ -222,14 +238,14 @@ def bigru(p_fwd, p_bwd, xs, h0=None, lens=None):
     reversed sequence FIRST from h0 — valid positions then match a solo
     (unpadded) run exactly; pad positions are garbage the caller masks or
     ignores."""
-    y_f, _ = gru(p_fwd, xs, h0)
+    y_f, _ = gru(p_fwd, xs, h0, engine=engine)
     if lens is None:
-        y_b, _ = gru(p_bwd, xs[:, ::-1, :], h0)
+        y_b, _ = gru(p_bwd, xs[:, ::-1, :], h0, engine=engine)
         return jnp.concatenate([y_f, y_b[:, ::-1, :]], axis=-1)
     T = xs.shape[1]
     roll_r = jax.vmap(lambda x, s: jnp.roll(x, s, axis=0))
     xs_b = roll_r(xs, T - lens)[:, ::-1, :]
-    y_b, _ = gru(p_bwd, xs_b, h0)
+    y_b, _ = gru(p_bwd, xs_b, h0, engine=engine)
     y_b = roll_r(y_b[:, ::-1, :], lens - T)
     return jnp.concatenate([y_f, y_b], axis=-1)
 
@@ -279,6 +295,34 @@ def embedding(p, ids):
 # --------------------------------------------------------------------------
 # misc
 # --------------------------------------------------------------------------
+
+@jax.custom_vjp
+def grad_barrier(x):
+    """Identity whose BACKWARD inserts an optimization barrier on the
+    cotangent.
+
+    Why: XLA may fuse a relayouting producer (e.g. the backward transpose
+    of a (B, T, C)->(T, B, C) flip) INTO a consumer as a kOutput operand,
+    recomputing the relayout for every consumer window read.  Measured on
+    v5e: the depthwise upsample-conv backward consumed the time-major
+    core's transposed cotangent that way and ran 42x its own cost estimate
+    (~21 ms of a 33 ms train step).  Placing grad_barrier between the
+    upsampler outputs and the time-major core forces the cotangent to
+    materialize in a clean layout first: 33 -> 11.8 ms per step, gradients
+    bit-identical (the barrier has no numeric effect)."""
+    return x
+
+
+def _grad_barrier_fwd(x):
+    return x, None
+
+
+def _grad_barrier_bwd(_, g):
+    return (jax.lax.optimization_barrier(g),)
+
+
+grad_barrier.defvjp(_grad_barrier_fwd, _grad_barrier_bwd)
+
 
 def xavier_uniform(key, shape, dtype=jnp.float32):
     """torch.nn.init.xavier_uniform_ for 2D (out, in) or conv shapes."""

@@ -213,9 +213,11 @@ def _round_up(x, m):
 # Batched decode kernel (B <= 8 utterances per launch)
 # --------------------------------------------------------------------------
 
-def _make_batch_kernel(B: int, r: int, n_mels: int, T_pad: int, F: int,
+def _make_batch_kernel(r: int, n_mels: int, T_pad: int, F: int,
                        E: int, D: int, stop_threshold: float):
-    """B-utterance decode in one launch (VERDICT r3 item 7).
+    """Batched decode in one launch, 8 utterances per sublane-row group,
+    groups tiled across the grid's leading dim (VERDICT r3 item 7 + r4
+    weak #3: B > 8 no longer falls off the kernel).
 
     The (8, d) sublane-row state layout of the B=1 kernel already gives
     batched RNN/prenet/mel matmuls for free — rows 0..B-1 carry live
@@ -243,9 +245,10 @@ def _make_batch_kernel(B: int, r: int, n_mels: int, T_pad: int, F: int,
     normalization stays finite).
     """
 
-    def kernel(enc_ref,       # (8, T_pad, E) per-utterance encoder seq
+    def kernel(enc_ref,       # (8, T_pad, E) THIS GROUP's encoder seq
                encp_ref,      # (T_pad, 8*D)  per-utterance proj (lane blocks)
                mask_ref,      # (T_pad, 8)    per-utterance text masks
+               sm0_ref,       # (8, 128)      initial stop mask (pad rows 1)
                R_ref,         # (8, 256)      block replication (0/1)
                I8_ref,        # (8, 8)        identity (row->col transpose)
                w1p_ref, b1_ref, w2p_ref, b2_ref,          # prenet
@@ -268,7 +271,11 @@ def _make_batch_kernel(B: int, r: int, n_mels: int, T_pad: int, F: int,
                sm_ref,        # (8, 128) row b col* = 1.0 once b stopped
                hold_mel_ref, hold_att_ref,                # frozen replay
                flags_ref):    # SMEM (2,): [all_stopped, hold_valid]
-        prog = pl.program_id(0)
+        # grid = (n_ug, n_time_chunks): time iterates FASTEST, so each
+        # 8-row utterance group runs its full decode before the next
+        # group's blocks arrive — state scratch resets at its t==0 and is
+        # reused across groups (B > 8 tiling, one launch for the batch)
+        prog = pl.program_id(1)
 
         @pl.when(prog == 0)
         def _():
@@ -276,9 +283,8 @@ def _make_batch_kernel(B: int, r: int, n_mels: int, T_pad: int, F: int,
                         prev_ref, cum_ref, att_ref, hold_mel_ref,
                         hold_att_ref):
                 ref[:] = jnp.zeros_like(ref)
-            # padding rows start stopped
-            row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-            sm_ref[:] = jnp.where(row8 >= B, 1.0, 0.0)
+            # per-group initial stop mask (padding rows start stopped)
+            sm_ref[:] = sm0_ref[:]
             flags_ref[0] = 0
             flags_ref[1] = 0
 
@@ -388,7 +394,7 @@ def _make_batch_kernel(B: int, r: int, n_mels: int, T_pad: int, F: int,
             # ---- emit (live value or frozen replay) ----
             mel_out_ref[:, pl.ds(i, 1), :] = hold_mel_ref[:].reshape(
                 8, 1, hold_mel_ref.shape[-1])
-            for b in range(B):
+            for b in range(8):
                 att_out_ref[b] = jnp.where(lane_T == i,
                                            hold_att_ref[:, b:b + 1],
                                            att_out_ref[b])
@@ -406,7 +412,15 @@ def _make_batch_kernel(B: int, r: int, n_mels: int, T_pad: int, F: int,
 def decode_pallas_batch(params, encoder_seq, encoder_seq_proj, text_mask,
                         tts: TacotronConfig, r: int, steps: int, n_mels: int,
                         interpret: bool = False):
-    """Run the batched free-running decode kernel (B <= 8).
+    """Run the batched free-running decode kernel (any B; utterances pack
+    8 per sublane-row group, groups tile the grid's leading dim in ONE
+    launch — a B=16/32 serving batch stays on the kernel instead of
+    falling back to the scan, VERDICT r4 weak #3).
+
+    Groups decode sequentially on the core (the grid's time dim iterates
+    fastest), and each group early-exits into the cheap frozen replay once
+    all its rows stop — so batching utterances of similar expected length
+    into the same call (bucketing upstream) keeps group tails short.
 
     encoder_seq: (B, T_text, E); encoder_seq_proj: (B, T_text, D);
     text_mask: (B, T_text) 1.0 where real text (pad-masked LSA
@@ -416,7 +430,8 @@ def decode_pallas_batch(params, encoder_seq, encoder_seq_proj, text_mask,
     (postnet runs outside)."""
     dec = params["decoder"]
     B = encoder_seq.shape[0]
-    assert B <= 8, "the batched decode kernel packs utterances on sublanes"
+    n_ug = -(-B // 8)               # 8-row utterance groups on the grid
+    B_pad = 8 * n_ug
     E = encoder_seq.shape[-1]
     D = tts.decoder_dims
     T_text = encoder_seq.shape[1]
@@ -426,18 +441,28 @@ def decode_pallas_batch(params, encoder_seq, encoder_seq_proj, text_mask,
     F = r * n_mels
     F_pad = _round_up(F, 128)
 
-    pad_B = ((0, 8 - B), (0, 0), (0, 0))
+    pad_B = ((0, B_pad - B), (0, 0), (0, 0))
     pad_T3 = ((0, 0), (0, T_pad - T_text), (0, 0))
-    enc = jnp.pad(encoder_seq, pad_B)                     # (8, T_text, E)
-    enc = jnp.pad(enc, pad_T3)                            # (8, T_pad, E)
+    enc = jnp.pad(encoder_seq, pad_B)                     # (B_pad, T_text, E)
+    enc = jnp.pad(enc, pad_T3)                            # (B_pad, T_pad, E)
     encp = jnp.pad(jnp.pad(encoder_seq_proj, pad_B), pad_T3)
-    # lane-block concat: utterance b's proj at lanes [b*D, (b+1)*D)
-    encp_all = jnp.concatenate([encp[b] for b in range(8)], axis=1)
+    # lane-block concat per group: utterance 8u+b's proj at lanes
+    # [b*D, (b+1)*D) of group block u; groups stack on the row axis so the
+    # grid's leading (group) dim picks block u = rows [u*T_pad, (u+1)*T_pad)
+    encp_all = jnp.concatenate(
+        [jnp.concatenate([encp[8 * u + b] for b in range(8)], axis=1)
+         for u in range(n_ug)], axis=0)                   # (n_ug*T_pad, 8D)
     mask = jnp.pad(text_mask.astype(jnp.float32),
-                   ((0, 8 - B), (0, T_pad - T_text)))     # (8, T_pad)
+                   ((0, B_pad - B), (0, T_pad - T_text)))  # (B_pad, T_pad)
     # padding rows: one live position keeps the sigmoid norm finite
     mask = mask.at[B:, 0].set(1.0)
-    mask_cols = jnp.swapaxes(mask, 0, 1)                  # (T_pad, 8)
+    mask_cols = jnp.concatenate(
+        [jnp.swapaxes(mask[8 * u:8 * u + 8], 0, 1) for u in range(n_ug)],
+        axis=0)                                           # (n_ug*T_pad, 8)
+    # per-group initial stop masks: padding rows (global index >= B) start
+    # stopped so they freeze immediately
+    sm0 = (jnp.arange(B_pad, dtype=jnp.float32)[:, None]
+           >= float(B)) * jnp.ones((1, 128), jnp.float32)  # (B_pad, 128)
 
     R = np.zeros((8, 256), np.float32)
     for b in range(8):
@@ -477,30 +502,43 @@ def decode_pallas_batch(params, encoder_seq, encoder_seq_proj, text_mask,
         wm,
     ]
 
+    L = tts.lstm_dims
+    kernel = _make_batch_kernel(r, n_mels, T_pad, F, E, D,
+                                tts.stop_threshold)
+    # grid (n_ug, time): per-group inputs/outputs block on their row axis
+    # with index map (u, t) -> group u; weights are const across the grid
+    ins = ([(enc, pl.BlockSpec((8, T_pad, E), lambda u, t: (u, 0, 0),
+                               memory_space=pltpu.VMEM)),
+            (encp_all, pl.BlockSpec((T_pad, 8 * D), lambda u, t: (u, 0),
+                                    memory_space=pltpu.VMEM)),
+            (mask_cols, pl.BlockSpec((T_pad, 8), lambda u, t: (u, 0),
+                                     memory_space=pltpu.VMEM)),
+            (sm0, pl.BlockSpec((8, 128), lambda u, t: (u, 0),
+                               memory_space=pltpu.VMEM)),
+            (jnp.asarray(R), None), (jnp.eye(8), None)]
+           + [(w, None) for w in weights])
+
     def const_spec(shape):
-        return pl.BlockSpec(shape, lambda t: (0,) * len(shape),
+        return pl.BlockSpec(shape, lambda u, t: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
-    L = tts.lstm_dims
-    kernel = _make_batch_kernel(B, r, n_mels, T_pad, F, E, D,
-                                tts.stop_threshold)
-    ins = [enc, encp_all, mask_cols, jnp.asarray(R), jnp.eye(8)] + weights
     mel_out, att_out, stop_out = pl.pallas_call(
         kernel,
-        grid=(n_g_pad // G_CHUNK,),
-        in_specs=[const_spec(jnp.shape(a)) for a in ins],
+        grid=(n_ug, n_g_pad // G_CHUNK),
+        in_specs=[spec if spec is not None else const_spec(jnp.shape(a))
+                  for a, spec in ins],
         out_specs=(
-            pl.BlockSpec((8, G_CHUNK, F_pad), lambda t: (0, t, 0),
+            pl.BlockSpec((8, G_CHUNK, F_pad), lambda u, t: (u, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, T_pad, G_CHUNK), lambda t: (0, 0, t),
+            pl.BlockSpec((8, T_pad, G_CHUNK), lambda u, t: (u, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, G_CHUNK), lambda t: (0, t),
+            pl.BlockSpec((8, G_CHUNK), lambda u, t: (u, t),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((8, n_g_pad, F_pad), jnp.float32),
-            jax.ShapeDtypeStruct((8, T_pad, n_g_pad), jnp.float32),
-            jax.ShapeDtypeStruct((8, n_g_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B_pad, n_g_pad, F_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B_pad, T_pad, n_g_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B_pad, n_g_pad), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((8, D), jnp.float32),        # attn hidden
@@ -520,7 +558,7 @@ def decode_pallas_batch(params, encoder_seq, encoder_seq_proj, text_mask,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(*ins)
+    )(*(a for a, _ in ins))
 
     mel = mel_out[:B, :n_groups, :F].reshape(B, n_groups * r, n_mels)
     mel = jnp.swapaxes(mel, 1, 2)                         # (B, n_mels, T)

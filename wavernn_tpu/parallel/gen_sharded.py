@@ -375,3 +375,165 @@ def generate_sharded(params, mels, voc: WaveRNNConfig, dsp: DSPConfig, key,
         samples = generate_scan(params, mels_up, aux, voc, dsp.bits, key)
     wav = F.xfade_and_unfold_jax(samples, overlap)[:wave_len]
     return wav if device_out else np.asarray(wav)
+
+
+# --------------------------------------------------------------------------
+# multi-utterance batched serving on the mesh (SERVING.md batch layer)
+# --------------------------------------------------------------------------
+
+_MULTI_SHARDED_CACHE: dict = {}
+
+
+def _multi_sharded_prog(mesh, voc, dsp, target: int, overlap: int,
+                        frames_t, mu_law: bool, use_pallas: bool,
+                        interpret: bool, sparse_static=(),
+                        tail_fade: bool = True, noise_kind=None):
+    """ONE compiled program for mesh-sharded batched serving: pad each
+    utterance to the shared bucket -> batched MelResNet -> per-utterance
+    frame-rate fold gather -> ONE shard_map(sample kernel) over the
+    COMBINED fold axis -> per-utterance device post-processing
+    (models.wavernn._multi_post_jit semantics).
+
+    The multi-utterance twin of _crossfade_prog: all utterances' folds
+    share one (target + 2*overlap) length, so they concatenate into a
+    single fold batch that lays out on the mesh's ``data`` axis — an
+    explicit SPMD region (GSPMD cannot partition a pallas_call), zero
+    mid-loop communication, per-shard PRNG keys folded with the shard
+    index.  CPU meshes run the polyphase scan twin per shard.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..models.wavernn import (_fused_fold_frames, _multi_post_jit,
+                                  melresnet_apply)
+    from ..ops import polyphase as Po
+
+    bits, n_mels, hop = dsp.bits, dsp.num_mels, dsp.hop_length
+    geo = Po.geometry(voc.upsample_factors, voc.pad)
+    d_lo = geo.d_lo
+    pad = voc.pad
+    T_max = -(-max(frames_t) // 64) * 64
+    wave_lens = tuple((n - 1) * hop for n in frames_t)
+    counts = tuple(Po.fold_geometry(n * hop, target, overlap, hop)[0]
+                   for n in frames_t)
+    fold_chunks = Po.fold_geometry(frames_t[0] * hop, target, overlap,
+                                   hop)[2]
+    total_folds = sum(counts)
+    n = mesh.shape["data"]
+    pad_folds = (-total_folds) % n
+
+    def shard_fn(params, phi, frames_local, keys_local, sparse_arrays,
+                 noise_local):
+        k = jax.random.fold_in(keys_local[0], jax.lax.axis_index("data"))
+        if noise_kind is None:
+            noise_local = None
+        if use_pallas:
+            from ..ops.pallas_gen import generate_pallas_fused
+            return generate_pallas_fused(params, frames_local, phi, voc,
+                                         bits, k, hop, -d_lo, fold_chunks,
+                                         noise=noise_local,
+                                         interpret=interpret,
+                                         sparse_static=sparse_static,
+                                         sparse_arrays=sparse_arrays)
+        from ..ops.polyphase import reconstruct_from_folded
+        from ..ops.sample_loop import generate_scan
+        mels_up, aux_up = reconstruct_from_folded(frames_local, phi, hop,
+                                                  -d_lo, fold_chunks, n_mels)
+        return generate_scan(params, mels_up, aux_up, voc, bits, k,
+                             noise=noise_local)
+
+    # injected sampling noise (tests/replay) is time-major (T, B, ·) /
+    # (T, B): shard its FOLD axis (axis 1) alongside the fold batch
+    noise_spec = {None: P(), "raw": P(None, "data", None),
+                  "mol": (P(None, "data", None), P(None, "data"))}[noise_kind]
+    sharded = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(None, "data", None), P("data"), P(),
+                  noise_spec),
+        out_specs=P("data"), check_vma=False)
+
+    @jax.jit
+    def run(params, phi, mels, keys, sparse_arrays, noise):
+        mels_b = jnp.stack(
+            [jnp.pad(m, ((0, 0), (0, T_max - m.shape[-1]))) for m in mels])
+        mels_b = jnp.pad(mels_b, ((0, 0), (0, 0), (pad, pad)))
+        aux_b, _ = melresnet_apply(params["upsample"]["resnet"], mels_b,
+                                   training=False)
+        frames_list = []
+        for i, n_frames in enumerate(frames_t):
+            fr, _ = _fused_fold_frames(
+                jnp.swapaxes(mels_b[i, :, :n_frames + 2 * pad], 0, 1),
+                jnp.swapaxes(aux_b[i, :, :n_frames], 0, 1),
+                n_frames * hop, target, overlap, geo)
+            frames_list.append(fr)
+        frames = jnp.concatenate(frames_list, axis=1)
+        if pad_folds:
+            frames = jnp.pad(frames, ((0, 0), (0, pad_folds), (0, 0)))
+            if noise_kind is not None:
+                noise = jax.tree_util.tree_map(
+                    lambda u: jnp.pad(
+                        u, ((0, 0), (0, pad_folds)) + ((0, 0),) * (u.ndim - 2),
+                        constant_values=0.5), noise)
+        samples = sharded(params, phi, frames, keys, sparse_arrays,
+                          noise)[:total_folds]
+        return _multi_post_jit(samples, counts, wave_lens, overlap, mu_law,
+                               voc, dsp, tail_fade)
+
+    return run
+
+
+def generate_multi_sharded(params, mels_list, voc: WaveRNNConfig,
+                           dsp: DSPConfig, key, mesh,
+                           target: Optional[int] = None,
+                           overlap: Optional[int] = None, mu_law: bool = True,
+                           use_pallas: bool = False, interpret: bool = False,
+                           tail_fade: bool = True, sparse_packed=None,
+                           noise=None):
+    """Batched multi-utterance serving on a device mesh: the
+    models.wavernn.generate_multi contract (list of mels -> list of
+    device waveforms) with the combined fold batch laid out on the mesh's
+    ``data`` axis via shard_map.  Requires hop-multiple target/overlap
+    (the reference defaults).  Compiles once per (lengths, config) —
+    bucket utterance lengths upstream like generate_multi.
+
+    ``noise``: optional injected sampling noise over the COMBINED fold
+    batch, time-major like generate_scan (RAW: (L, total_folds,
+    n_classes); MOL: (u_mix, u_s)) — with it, output is bit-identical to
+    the single-device generate_multi under the same noise regardless of
+    mesh size (tests/test_serving_mesh.py)."""
+    from jax.sharding import Mesh
+
+    import numpy as np
+
+    from ..models.wavernn import _fused_cond_ok
+
+    target = voc.target if target is None else target
+    overlap = voc.overlap if overlap is None else overlap
+    mu_law = mu_law if voc.mode == "RAW" else False
+    assert _fused_cond_ok(voc, dsp, target, overlap), (
+        "generate_multi_sharded needs hop-multiple target/overlap")
+    if mesh is None:
+        mesh = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+    sparse_static, sparse_arrays = sparse_packed or ((), ())
+
+    mels_d = tuple(jnp.asarray(m)[0] if jnp.asarray(m).ndim == 3
+                   else jnp.asarray(m) for m in mels_list)
+    frames_t = tuple(int(m.shape[-1]) for m in mels_d)
+    noise_kind = (None if noise is None
+                  else ("mol" if isinstance(noise, tuple) else "raw"))
+    cache_key = (mesh, voc, dsp, target, overlap, frames_t, mu_law,
+                 use_pallas, interpret, sparse_static, tail_fade, noise_kind)
+    prog = _MULTI_SHARDED_CACHE.get(cache_key)
+    if prog is None:
+        while len(_MULTI_SHARDED_CACHE) >= 32:
+            _MULTI_SHARDED_CACHE.pop(next(iter(_MULTI_SHARDED_CACHE)))
+        prog = _MULTI_SHARDED_CACHE.setdefault(
+            cache_key, _multi_sharded_prog(mesh, voc, dsp, target, overlap,
+                                           frames_t, mu_law, use_pallas,
+                                           interpret, sparse_static,
+                                           tail_fade, noise_kind))
+    n = mesh.shape["data"]
+    keys = jnp.broadcast_to(key, (n,) + key.shape)
+    if noise is None:
+        noise = jnp.zeros((0,))   # placeholder leaf for the jit signature
+    return list(prog(params, jnp.asarray(_fused_setup_phi(params, voc)),
+                     mels_d, keys, sparse_arrays, noise))

@@ -304,7 +304,7 @@ class MultiStreamVocoder:
     def __init__(self, params, voc: WaveRNNConfig, dsp: DSPConfig, key,
                  n_streams: int, chunk_frames: int = 24, mu_law: bool = True,
                  use_pallas: Optional[bool] = None, noise=None,
-                 device_out: bool = False, sparse_packed=None):
+                 device_out: bool = False, sparse_packed=None, mesh=None):
         from .utils.backend import use_pallas_default
         self.params = params
         self.voc = voc
@@ -321,6 +321,21 @@ class MultiStreamVocoder:
                 f"chunk_frames={chunk_frames} gives a block of {T_block} "
                 f"samples, a multiple of the kernel chunk (128) — no state-"
                 f"snapshot headroom; pick another chunk_frames")
+        # mesh: lay the stream lanes out on the mesh's ``data`` axis — each
+        # block's batched launch runs SPMD with state rows and conditioning
+        # windows sharded per device.  The state-I/O kernel is a
+        # single-chip program GSPMD cannot partition, so a mesh forces the
+        # scan block (pure jnp, partitioned automatically); multi-chip
+        # streaming throughput comes from lane parallelism, not the kernel.
+        self._mesh = mesh
+        self._shard = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            if use_pallas:
+                raise ValueError("use_pallas is single-chip; a meshed "
+                                 "MultiStreamVocoder runs the scan block")
+            use_pallas = False
+            self._shard = NamedSharding(mesh, P("data"))
         self._pallas = use_pallas_default(use_pallas) and snapshot_ok
         self._device_out = device_out
         self._noise = noise
@@ -328,6 +343,9 @@ class MultiStreamVocoder:
         self._state = (jnp.zeros((n_streams, R), jnp.float32),
                        jnp.zeros((n_streams, R), jnp.float32),
                        jnp.zeros((n_streams,), jnp.float32))
+        if self._shard is not None:
+            self._state = tuple(jax.device_put(s, self._shard)
+                                for s in self._state)
         # per-stream mel ring: starts with the offline path's left padding
         self._bufs = [np.zeros((dsp.num_mels, voc.pad), np.float32)
                       for _ in range(n_streams)]
@@ -376,11 +394,16 @@ class MultiStreamVocoder:
         key, noise = self._block_noise(active, T)
         fold_idx = np.int32(self._blocks) if self._noise is None else None
         self._blocks += 1
+        win_d = jnp.asarray(windows)
+        act_d = jnp.asarray(np.asarray(active))
+        if self._shard is not None:
+            win_d = jax.device_put(win_d, self._shard)
+            act_d = jax.device_put(act_d, self._shard)
         samples, self._state = _stream_block_jit(
-            self.params, jnp.asarray(windows), key, self._state, noise, voc,
+            self.params, win_d, key, self._state, noise, voc,
             dsp.bits, T, self._pallas, sparse_static=self._sparse[0],
             sparse_arrays=self._sparse[1],
-            active=jnp.asarray(np.asarray(active)),
+            active=act_d,
             n_out=self.n_streams if self._device_out else 0,
             mu_decode=self.mu_law and self._device_out,
             fold_idx=fold_idx)
@@ -483,3 +506,18 @@ class MultiStreamVocoder:
             outs[stream] = (np.concatenate(parts) if parts
                             else np.zeros((0,), np.float32))
         return outs
+
+    def reset(self, stream: int):
+        """Recycle a lane for a new session (after — or instead of — its
+        flush): zero its RNN-state rows, re-init its mel ring to the
+        offline left padding, and clear its done/flushed/noise bookkeeping.
+        A long-lived serving loop reuses the instance (and its warmed-up
+        compiled block program) across sessions instead of rebuilding the
+        whole vocoder once every lane has ended once. Other lanes are
+        untouched — resetting one session never perturbs live neighbours."""
+        self._state = tuple(s.at[stream].set(0.0) for s in self._state)
+        self._bufs[stream] = np.zeros(
+            (self.dsp.num_mels, self.voc.pad), np.float32)
+        self._noise_at[stream] = 0
+        self._done[stream] = False
+        self._flushed[stream] = False

@@ -128,7 +128,8 @@ def tts_to_wav_batch(tts_params, voc_params, texts, cfg: Config, r: int,
                      key=None, steps: int = 2000,
                      mel_buckets=(256, 512, 1024, 2048),
                      use_pallas=None, target=None, overlap=None,
-                     sparse_packed=None, device_out: bool = False):
+                     sparse_packed=None, device_out: bool = False,
+                     mesh=None):
     """Batched serving: N sentences -> one masked batched Tacotron decode
     -> one batched vocoder launch. The TPU-first answer to the reference's
     one-sentence-at-a-time loop (gen_tacotron.py:142-173).
@@ -149,6 +150,15 @@ def tts_to_wav_batch(tts_params, voc_params, texts, cfg: Config, r: int,
     or, with device_out=True, a list of (wav device array TRIMMED to the
     true length but NOT tail-faded, T_valid) so a serving loop can defer
     the host export (fade the final 20*hop samples at delivery).
+
+    ``mesh``: optional jax.sharding.Mesh with a ``data`` axis — serve the
+    batch SPMD over the mesh: the Tacotron decode runs with the sentence
+    batch sharded over ``data`` (masked batched scan; GSPMD partitions
+    it), and the vocoder stage routes through
+    parallel.gen_sharded.generate_multi_sharded, which lays the COMBINED
+    fold batch of all utterances on the mesh via shard_map (fused kernel
+    per shard on TPU, polyphase scan twin on CPU meshes).  Same outputs
+    as the single-device path under the same key.
     """
     import jax.numpy as jnp
 
@@ -164,13 +174,35 @@ def tts_to_wav_batch(tts_params, voc_params, texts, cfg: Config, r: int,
                               for s in seqs]))
     lens = jnp.asarray([len(s) for s in seqs])
     steps = -(-steps // r) * r
-    if pallas and len(seqs) == 1:
+    if mesh is not None:
+        # SPMD decode: sentence batch on the data axis; the scan decode is
+        # pure jnp so GSPMD partitions it (the Pallas batch kernel is a
+        # single-chip program — shard_map covers the vocoder stage below).
+        # Pad the batch to a mesh multiple (pad rows decode garbage that
+        # is sliced away; a 1-char pad text keeps their scans short-lived)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n_dev = mesh.shape["data"]
+        pad_b = (-len(seqs)) % n_dev
+        if pad_b:
+            x = jnp.pad(x, ((0, pad_b), (0, 0)))
+            lens = jnp.concatenate([lens, jnp.ones((pad_b,), lens.dtype)])
+        sh = NamedSharding(mesh, P("data"))
+        x = jax.device_put(x, sh)
+        lens = jax.device_put(lens, sh)
+        _, linear, _, n_valid = _generate_scan(
+            tts_params, x, cfg.tts, r, steps, cfg.dsp.num_mels, k_mel,
+            text_lens=lens)
+        if pad_b:
+            linear, n_valid = linear[:len(seqs)], n_valid[:len(seqs)]
+    elif pallas and len(seqs) == 1:
         # a 1-sentence "batch" has no padding; the tuned B=1 kernel runs
         # ~2x the batched kernel's per-group cost
         from .models.tacotron import _generate_kernel
         _, linear, _, n_valid = _generate_kernel(
             tts_params, x, cfg.tts, r, steps, cfg.dsp.num_mels, k_mel)
-    elif pallas and len(seqs) <= 8:
+    elif pallas:
+        # any batch size: the kernel tiles 8-row utterance groups across
+        # its grid (ops/pallas_taco.decode_pallas_batch)
         _, linear, _, n_valid = _generate_kernel_batch(
             tts_params, x, lens, cfg.tts, r, steps, cfg.dsp.num_mels, k_mel)
     else:
@@ -190,11 +222,19 @@ def tts_to_wav_batch(tts_params, voc_params, texts, cfg: Config, r: int,
         mels.append(jnp.clip((linear[b, :, :bucket] + 4.0) / 8.0, 0.0, 1.0))
         t_valids.append(T_valid)
 
-    wavs = wr.generate_multi(voc_params, mels, cfg.voc, cfg.dsp, k_voc,
-                             target=target, overlap=overlap,
-                             mu_law=cfg.dsp.mu_law, use_pallas=pallas,
-                             device_out=True, tail_fade=False,
-                             sparse_packed=sparse_packed)
+    if mesh is not None:
+        from .parallel.gen_sharded import generate_multi_sharded
+        wavs = generate_multi_sharded(voc_params, mels, cfg.voc, cfg.dsp,
+                                      k_voc, mesh, target=target,
+                                      overlap=overlap, mu_law=cfg.dsp.mu_law,
+                                      use_pallas=pallas, tail_fade=False,
+                                      sparse_packed=sparse_packed)
+    else:
+        wavs = wr.generate_multi(voc_params, mels, cfg.voc, cfg.dsp, k_voc,
+                                 target=target, overlap=overlap,
+                                 mu_law=cfg.dsp.mu_law, use_pallas=pallas,
+                                 device_out=True, tail_fade=False,
+                                 sparse_packed=sparse_packed)
     outs = []
     for b, (w, T_valid) in enumerate(zip(wavs, t_valids)):
         wave_valid = max(T_valid - 1, 1) * cfg.dsp.hop_length

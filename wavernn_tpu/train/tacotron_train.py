@@ -56,21 +56,23 @@ def attention_kl(student_attn, teacher_attn, eps: float = 1e-10):
     return jnp.mean(jnp.sum(kl, axis=-1))
 
 
-def loss_tf(params, x_ids, m, tts, r, key, compute_dtype=None):
+def loss_tf(params, x_ids, m, tts, r, key, compute_dtype=None,
+            recurrence="scan"):
     mel, linear, attn, new_params = taco.forward(
         params, x_ids, m, tts, r, key, mode="teacher_forcing", training=True,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, recurrence=recurrence)
     loss = jnp.mean(jnp.abs(mel - m)) + jnp.mean(jnp.abs(linear - m))
     return loss, (new_params, attn)
 
 
 def loss_af(params, x_ids, m, attn_ref, tts, r, key, attn_loss_coeff,
-            offline: bool, compute_dtype=None):
+            offline: bool, compute_dtype=None, recurrence="scan"):
     mode = ("attention_forcing_offline" if offline
             else "attention_forcing_online")
     mel, linear, attn, new_params = taco.forward(
         params, x_ids, m, tts, r, key, mode=mode, training=True,
-        attn_ref=attn_ref, compute_dtype=compute_dtype)
+        attn_ref=attn_ref, compute_dtype=compute_dtype,
+        recurrence=recurrence)
     loss_out = jnp.mean(jnp.abs(mel - m)) + jnp.mean(jnp.abs(linear - m))
     if offline:
         loss_attn = jnp.mean(jnp.abs(attn - attn_ref))
@@ -81,14 +83,15 @@ def loss_af(params, x_ids, m, attn_ref, tts, r, key, attn_loss_coeff,
 
 
 @partial(jax.jit, static_argnames=("tts", "r", "lr", "clip_grad_norm",
-                                   "precision"))
+                                   "precision", "recurrence"))
 def train_step_tf(state: TTSTrainState, x_ids, m, tts: TacotronConfig,
                   r: int, lr: float, key,
                   clip_grad_norm: Optional[float] = 1.0,
-                  precision: str = "float32"):
+                  precision: str = "float32", recurrence: str = "scan"):
     cd = jnp.bfloat16 if precision == "bfloat16" else None
     (loss, (new_params, attn)), grads = jax.value_and_grad(
-        loss_tf, has_aux=True)(state.params, x_ids, m, tts, r, key, cd)
+        loss_tf, has_aux=True)(state.params, x_ids, m, tts, r, key, cd,
+                               recurrence)
     tx = make_optimizer(lr, clip_grad_norm)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
@@ -99,16 +102,17 @@ def train_step_tf(state: TTSTrainState, x_ids, m, tts: TacotronConfig,
 
 @partial(jax.jit, static_argnames=("tts", "r", "lr", "clip_grad_norm",
                                    "offline", "attn_loss_coeff",
-                                   "precision"))
+                                   "precision", "recurrence"))
 def train_step_af(state: TTSTrainState, x_ids, m, attn_ref,
                   tts: TacotronConfig, r: int, lr: float, key,
                   attn_loss_coeff: float = 1.0,
                   clip_grad_norm: Optional[float] = 1.0,
-                  offline: bool = False, precision: str = "float32"):
+                  offline: bool = False, precision: str = "float32",
+                  recurrence: str = "scan"):
     cd = jnp.bfloat16 if precision == "bfloat16" else None
     (loss, (new_params, attn, l_out, l_attn)), grads = jax.value_and_grad(
         loss_af, has_aux=True)(state.params, x_ids, m, attn_ref, tts, r, key,
-                               attn_loss_coeff, offline, cd)
+                               attn_loss_coeff, offline, cd, recurrence)
     tx = make_optimizer(lr, clip_grad_norm)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
@@ -165,6 +169,8 @@ def train_loop(cfg: Config, workspace, state: TTSTrainState,
 
     key = key if key is not None else jax.random.PRNGKey(0)
     mode = cfg.tts.mode
+    from ..utils.backend import resolve_recurrence
+    recurrence = resolve_recurrence(cfg.tts_train.recurrence, mesh)
     offline = mode == "attention_forcing_offline"
     online = mode == "attention_forcing_online"
 
@@ -204,7 +210,8 @@ def train_loop(cfg: Config, workspace, state: TTSTrainState,
                         jnp.asarray(attn_ref), cfg.tts, r, lr, k_step,
                         cfg.tts_train.attn_loss_coeff,
                         cfg.tts_train.clip_grad_norm, offline=True,
-                        precision=cfg.tts_train.precision)
+                        precision=cfg.tts_train.precision,
+                        recurrence=recurrence)
                 elif online:
                     chars, mel, ids, mel_lens = batch
                     attn_ref = teacher_attn_ref(teacher_params,
@@ -216,13 +223,15 @@ def train_loop(cfg: Config, workspace, state: TTSTrainState,
                         cfg.tts, r, lr, k_step,
                         cfg.tts_train.attn_loss_coeff,
                         cfg.tts_train.clip_grad_norm, offline=False,
-                        precision=cfg.tts_train.precision)
+                        precision=cfg.tts_train.precision,
+                        recurrence=recurrence)
                 else:
                     chars, mel, ids, mel_lens = batch
                     state, metrics = train_step_tf(
                         state, jnp.asarray(chars), jnp.asarray(mel), cfg.tts,
                         r, lr, k_step, cfg.tts_train.clip_grad_norm,
-                        precision=cfg.tts_train.precision)
+                        precision=cfg.tts_train.precision,
+                        recurrence=recurrence)
 
                 step += 1  # host-side mirror of state.step (no device sync)
                 timer.tick()
