@@ -206,6 +206,10 @@ def main():
     if "serving" not in skip:
         result.update(benchmarks.streaming_bench())
         result.update(benchmarks.multistream_bench())
+        # saturation sweep (VERDICT r4 #8): the kernel's step cost is
+        # near-flat to B~128, so aggregate RTF should keep scaling
+        result.update(benchmarks.multistream_bench(n_streams=16))
+        result.update(benchmarks.multistream_bench(n_streams=32))
         result.update(benchmarks.batch_serving_bench())
         result.update(benchmarks.tts_batch_bench())
     print(json.dumps(result))

@@ -240,15 +240,21 @@ def kernel_variants_bench(B: int = 128, T: int = 8192) -> dict:
     target (93.75%, Pruning - Scratchpad.ipynb cells 4-5; VERDICT r1 items
     2 and 7 ask for these measured numbers in the bench JSON).
 
-    Recorded findings from the tuning campaign (v5e, B=128): the sample
-    step is serial-latency/VMEM-traffic bound, so (a) bf16 weights ~= f32
-    weights, (b) bf16 gates are slightly SLOWER (casts outweigh narrow
-    ops), (c) block sparsity only pays with the gather-free (128,128)
-    schedule — the round-2 (8,128) schedule was 5.4x SLOWER than dense
-    (8-lane gathers serialize on VPU shuffles), (d) packing must be
-    hoisted out of the per-call path: it reads ~20 MB of weights back to
-    the host (~350 ms over the tunnel, 8x the kernel's runtime), which
-    round 3 initially mis-measured as kernel time.
+    Protocol: two-length MARGINAL timing (see timeit below) — r4's
+    single-length protocol folded the ~35 ms tunnel round trip into every
+    rep, inflating step_us_* by 40-70% and drowning sub-us variant deltas
+    (VERDICT r4 weak #2).  Every row ships with an `_iqr` spread; variant
+    deltas below their IQRs are noise, not findings.
+
+    Findings that survive the marginal protocol (v5e, B=128, r5): (a) the
+    dense variants (bf16/f32 weights, bf16 gates) agree within their IQRs
+    — the sample step is serial-latency bound, not weight-precision bound;
+    (b) block sparsity only pays with the gather-free (128,128) schedule —
+    the round-2 (8,128) schedule was 5.4x SLOWER than dense (8-lane
+    gathers serialize on VPU shuffles); (c) packing must be hoisted out of
+    the per-call path: it reads ~20 MB of weights back to the host
+    (~350 ms over the tunnel, 8x the kernel's runtime), which round 3
+    initially mis-measured as kernel time.
     """
     import jax
     import jax.numpy as jnp
@@ -263,20 +269,39 @@ def kernel_variants_bench(B: int = 128, T: int = 8192) -> dict:
     voc = WaveRNNConfig(mode="MOL")
     params = wr.init_wavernn(jax.random.PRNGKey(1), voc, dsp)
     k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    Th = T // 2
     mels_up = jax.random.normal(k1, (B, T, dsp.num_mels), jnp.float32) * 0.3
     aux = jax.random.normal(k2, (B, T, voc.res_out_dims), jnp.float32) * 0.3
-    np.asarray(jnp.sum(mels_up))  # fence input placement
+    mels_up_h = jnp.copy(mels_up[:, :Th])
+    aux_h = jnp.copy(aux[:, :Th])
+    np.asarray(jnp.sum(mels_up) + jnp.sum(mels_up_h))  # fence placement
 
-    def timeit(f, reps=5):
-        # scalar-reduction fence: bulk np.asarray exports MBs through the
-        # tunnel (~tens of MB/s) and would dominate the timing
-        np.asarray(jnp.sum(f(0)))
-        ts = []
+    def timeit(make_f, reps=6):
+        """TWO-LENGTH MARGINAL timing (the bench_scaling protocol):
+        per-step cost = (t(T) - t(T/2)) / (T/2).  A single-length timeit
+        puts the per-launch dispatch+fence round trip (~35 ms through the
+        remote tunnel) inside EVERY rep — at T=8192 that inflated r4's
+        step_us_* by 40-70% and made sub-us variant deltas unreadable
+        (VERDICT r4 weak #2).  The subtraction cancels it.  Scalar-
+        reduction fence: bulk np.asarray exports MBs through the tunnel.
+        Returns (median us/step, IQR of the per-pair estimates)."""
+        f_long, f_short = make_f(T), make_f(Th)
+        np.asarray(jnp.sum(f_long(0)) + jnp.sum(f_short(0)))  # compile both
+        margs = []
         for i in range(reps):
             t0 = time.perf_counter()
-            np.asarray(jnp.sum(f(i + 1)))
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts)) / T * 1e6  # us/step
+            np.asarray(jnp.sum(f_long(2 * i + 1)))
+            tl = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            np.asarray(jnp.sum(f_short(2 * i + 2)))
+            ts = time.perf_counter() - t0
+            margs.append((tl - ts) / (T - Th) * 1e6)
+        med = float(np.median(margs))
+        iqr = float(np.percentile(margs, 75) - np.percentile(margs, 25))
+        return round(med, 2), round(iqr, 2)
+
+    def put(out, name, med_iqr):
+        out[name], out[name + "_iqr"] = med_iqr
 
     out = {}
     # fused-conditioning kernel (the production path): frame-rate streams,
@@ -285,30 +310,40 @@ def kernel_variants_bench(B: int = 128, T: int = 8192) -> dict:
     from .ops.pallas_gen import generate_pallas_fused
 
     geo = Po.geometry(voc.upsample_factors, voc.pad)
-    fold_chunks = T // geo.hop
-    Tf = fold_chunks * geo.hop
-    nf_loc = fold_chunks + geo.K - 1
+    fc_by_T = {Tn: Tn // geo.hop for Tn in (T, Th)}
+    nf_loc = fc_by_T[T] + geo.K - 1
     frames_f = jax.random.normal(
         k1, (nf_loc, B, dsp.num_mels + voc.res_out_dims), jnp.float32) * 0.3
+    frames_h = jnp.copy(frames_f[:fc_by_T[Th] + geo.K - 1])
     phi = Po.phi_table(params["upsample"]["up_convs"], voc.upsample_factors,
                        geo)
-    np.asarray(jnp.sum(frames_f))  # fence input placement
-    out["step_us_fused_bf16"] = round(timeit(
-        lambda k: generate_pallas_fused(
-            params, frames_f, phi, voc, dsp.bits, jax.random.PRNGKey(k),
-            geo.hop, -geo.d_lo, fold_chunks)) * T / Tf, 2)
+    np.asarray(jnp.sum(frames_f) + jnp.sum(frames_h))  # fence placement
+    # fused runs fold_chunks*hop steps, not exactly Tn: rescale the
+    # marginal denominator from (T - Th) to the true sample-count delta
+    fscale = (T - Th) / ((fc_by_T[T] - fc_by_T[Th]) * geo.hop)
 
-    out["step_us_bf16_weights"] = round(timeit(
-        lambda k: generate_pallas(params, mels_up, aux, voc, dsp.bits,
-                                  jax.random.PRNGKey(k))), 2)
-    out["step_us_f32_weights"] = round(timeit(
-        lambda k: generate_pallas(params, mels_up, aux, voc, dsp.bits,
-                                  jax.random.PRNGKey(k),
-                                  compute_dtype=jnp.float32)), 2)
-    out["step_us_bf16_gates"] = round(timeit(
-        lambda k: generate_pallas(params, mels_up, aux, voc, dsp.bits,
-                                  jax.random.PRNGKey(k),
-                                  gates_dtype=jnp.bfloat16)), 2)
+    def fused_at(Tn, mp, ss=(), sa=()):
+        fr = frames_f if Tn == T else frames_h
+        return lambda k: generate_pallas_fused(
+            mp, fr, phi, voc, dsp.bits, jax.random.PRNGKey(k),
+            geo.hop, -geo.d_lo, fc_by_T[Tn], sparse_static=ss,
+            sparse_arrays=sa)
+
+    med, iqr = timeit(lambda Tn: fused_at(Tn, params))
+    put(out, "step_us_fused_bf16",
+        (round(med * fscale, 2), round(iqr * fscale, 2)))
+
+    def mat_at(Tn, mp, **kw):
+        mu = mels_up if Tn == T else mels_up_h
+        au = aux if Tn == T else aux_h
+        return lambda k: generate_pallas(mp, mu, au, voc, dsp.bits,
+                                         jax.random.PRNGKey(k), **kw)
+
+    put(out, "step_us_bf16_weights", timeit(lambda Tn: mat_at(Tn, params)))
+    put(out, "step_us_f32_weights",
+        timeit(lambda Tn: mat_at(Tn, params, compute_dtype=jnp.float32)))
+    put(out, "step_us_bf16_gates",
+        timeit(lambda Tn: mat_at(Tn, params, gates_dtype=jnp.bfloat16)))
 
     # block-sparse kernel at the reference's 93.75% target
     spec = PruneSpec([(("rnn1", "wi"), 3), (("rnn1", "wh"), 3),
@@ -319,25 +354,26 @@ def kernel_variants_bench(B: int = 128, T: int = 8192) -> dict:
     masks = update_masks(params, None, jnp.asarray(1.0), spec, t0=0, S=1,
                          Z=0.9375, block=(128, 128))
     mparams = apply_masks(params, masks, spec)
-    out["step_us_dense_masked"] = round(timeit(
-        lambda k: generate_pallas(mparams, mels_up, aux, voc, dsp.bits,
-                                  jax.random.PRNGKey(k))), 2)
+    put(out, "step_us_dense_masked", timeit(lambda Tn: mat_at(Tn, mparams)))
     # pack ONCE (how serving uses it: masks freeze after pruning) — packing
     # reads the weights back to the host, ~350 ms through the tunnel, which
     # is 8x the kernel's own runtime and not part of the per-call cost
     packed = pack_sparse(mparams, voc)
-    out["step_us_block_sparse"] = round(timeit(
-        lambda k: generate_pallas_sparse(mparams, mels_up, aux, voc, dsp.bits,
-                                         jax.random.PRNGKey(k),
-                                         packed=packed)), 2)
+
+    def sparse_at(Tn):
+        mu = mels_up if Tn == T else mels_up_h
+        au = aux if Tn == T else aux_h
+        return lambda k: generate_pallas_sparse(
+            mparams, mu, au, voc, dsp.bits, jax.random.PRNGKey(k),
+            packed=packed)
+
+    put(out, "step_us_block_sparse", timeit(sparse_at))
     # pruned serving on the PRODUCTION path: fused-conditioning kernel with
     # the per-step matmuls on the sparse schedule (upsample is not pruned,
     # so the frame/phi conditioning from above is reusable)
-    out["step_us_fused_sparse"] = round(timeit(
-        lambda k: generate_pallas_fused(
-            mparams, frames_f, phi, voc, dsp.bits, jax.random.PRNGKey(k),
-            geo.hop, -geo.d_lo, fold_chunks, sparse_static=packed[0],
-            sparse_arrays=packed[1])) * T / Tf, 2)
+    med, iqr = timeit(lambda Tn: fused_at(Tn, mparams, *packed))
+    put(out, "step_us_fused_sparse",
+        (round(med * fscale, 2), round(iqr * fscale, 2)))
     # parity: sparse kernel vs dense kernel on masked weights, shared noise
     Tp, Bp = 512, 8
     nr_mix = voc.n_classes(dsp.bits) // 3
@@ -369,13 +405,16 @@ def train_bench(steps: int = 30, batch_size: int = 32) -> dict:
     Dispatches `steps` steps back-to-back and fences once — measuring the
     pipelined steady state the async train_loop achieves.
 
-    Roofline (measured v5e, r4): the step is bound by the ~4x 1375-step
-    GRU recurrences (fwd+bwd for rnn1/rnn2) — insensitive to lax.scan
-    unroll (1/4/8 within noise), so MFU at the reference's bs 32 sits
-    near `train_mfu_bf16` ~0.10. Batch width helps sub-linearly: bs 128
-    runs at ~0.43x the step rate = ~1.7x the samples/s (the
-    `train_*_bs128` rows), i.e. the scan step is part fixed overhead,
-    part width-scaling work.
+    Roofline (measured v5e, r5): with the Pallas training-recurrence
+    kernels (ops/pallas_gru.py; recurrence=auto) the bf16 step runs
+    ~2.7x the r4 lax.scan step (88.6 vs 32.6 steps/s at bs 32, MFU
+    ~0.27 vs 0.10) — the scan's cost was XLA's backward recurrence
+    (8.7 us/step re-materializing gates + re-reading weights per step)
+    plus a fusion pathology where the upsampler's depthwise-conv
+    backward consumed the time-major cotangent at 42x its cost estimate
+    (fixed by ops.layers.grad_barrier).  Batch width stays sub-linear:
+    the persistent-weights recurrence is serial-latency bound, so bs 128
+    runs ~0.25x the step rate = ~flat samples/s (`train_*_bs128` rows).
     """
     import jax
 
@@ -406,13 +445,17 @@ def train_bench(steps: int = 30, batch_size: int = 32) -> dict:
 
     x, y, m = batch(batch_size)
 
-    def measure(precision, data=None):
+    from .utils.backend import resolve_recurrence
+    rec_prod = resolve_recurrence(cfg.voc_train.recurrence)
+
+    def measure(precision, data=None, recurrence="scan"):
         bx, by, bm = data if data is not None else (x, y, m)
         st = state
 
         def one(st):
             return wt.train_step(st, bx, by, bm, voc, dsp, cfg.voc_train.lr,
-                                 cfg.voc_train.clip_grad_norm, precision)
+                                 cfg.voc_train.clip_grad_norm, precision,
+                                 None, recurrence)
 
         t0 = time.time()
         # the donated-state jit compiles a second (aliased-buffer) variant
@@ -420,27 +463,36 @@ def train_bench(steps: int = 30, batch_size: int = 32) -> dict:
         for _ in range(3):
             st, metrics = one(st)
             np.asarray(metrics["loss"])
-        print(f"train compile+warmup ({precision}): {time.time() - t0:.1f}s",
-              file=sys.stderr)
+        print(f"train compile+warmup ({precision}/{recurrence}): "
+              f"{time.time() - t0:.1f}s", file=sys.stderr)
         t0 = time.perf_counter()
         for _ in range(steps):
             st, metrics = one(st)
         np.asarray(metrics["loss"])      # single fence after the pipeline
         return steps / (time.perf_counter() - t0)
 
-    sps = measure("float32")
-    sps16 = measure("bfloat16")
-    # latency-bound evidence: 4x the batch at near-flat step time
-    sps16_128 = measure("bfloat16", data=batch(128))
+    # headline rows measure the PRODUCTION config (recurrence=auto ->
+    # the Pallas training-recurrence kernels on TPU, ops/pallas_gru.py);
+    # *_scan rows keep the XLA lax.scan baseline for comparison
+    sps = measure("float32", recurrence=rec_prod)
+    sps16 = measure("bfloat16", recurrence=rec_prod)
+    sps16_scan = (measure("bfloat16", recurrence="scan")
+                  if rec_prod != "scan" else sps16)
+    # batch-width scaling evidence at the production config
+    sps16_128 = measure("bfloat16", data=batch(128), recurrence=rec_prod)
     out = {"train_steps_per_s": round(sps, 2),
            "train_steps_per_s_bf16": round(sps16, 2),
+           "train_recurrence": rec_prod,
+           "train_steps_per_s_bf16_scan": round(sps16_scan, 2),
            "train_batch_size": batch_size, "train_seq_len": seq_len,
            "train_steps_per_s_bf16_bs128": round(sps16_128, 2),
            "train_samples_per_s_bf16_bs128_vs_bs32": round(
                sps16_128 * 128 / (sps16 * batch_size), 2)}
     # roofline accounting (VERDICT r3 item 6): XLA-counted fwd+bwd FLOPs
     # per step -> MFU, so the artifact shows whether training is compute-
-    # or latency-bound (the 1375-step GRU h-recurrence is the suspect)
+    # or latency-bound.  The count deliberately comes from the SCAN twin
+    # (recurrence default): XLA's cost analysis cannot see inside a
+    # pallas_call, and the kernel path computes the same math.
     flops = _xla_flops(wt.train_step, state, x, y, m, voc, dsp,
                        cfg.voc_train.lr, cfg.voc_train.clip_grad_norm,
                        "bfloat16")
@@ -477,35 +529,61 @@ def taco_train_bench(steps: int = 20) -> dict:
                                   cfg.dsp.num_mels, lr)
     rng = np.random.RandomState(0)
     n_chars, n_frames = 72, 600
-    x_ids = jnp.asarray(rng.randint(1, 148, (bs, n_chars)))
-    m = jnp.asarray(rng.uniform(-4, 4, (bs, cfg.dsp.num_mels, n_frames))
-                    .astype(np.float32))
-    x_ids.block_until_ready()
 
+    def batch(bsz):
+        x_ids = jnp.asarray(rng.randint(1, 148, (bsz, n_chars)))
+        m = jnp.asarray(rng.uniform(-4, 4, (bsz, cfg.dsp.num_mels, n_frames))
+                        .astype(np.float32))
+        x_ids.block_until_ready()
+        return x_ids, m
+
+    x_ids, m = batch(bs)
     key = jax.random.PRNGKey(1)
+    from .utils.backend import resolve_recurrence
+    rec_prod = resolve_recurrence(cfg.tts_train.recurrence)
 
-    def measure(precision):
+    def measure(precision, data=None, recurrence="scan"):
+        bx, bm = data if data is not None else (x_ids, m)
         st = state
         t0 = time.time()
         for _ in range(3):  # compile (+ donated-buffer variant), fenced
-            st, metrics = tt.train_step_tf(st, x_ids, m, cfg.tts, r, lr, key,
-                                           precision=precision)
+            st, metrics = tt.train_step_tf(st, bx, bm, cfg.tts, r, lr, key,
+                                           precision=precision,
+                                           recurrence=recurrence)
             np.asarray(metrics["loss"])
-        print(f"taco train compile+warmup ({precision}): "
-              f"{time.time() - t0:.1f}s", file=sys.stderr)
+        print(f"taco train compile+warmup ({precision}, bs={bx.shape[0]}, "
+              f"{recurrence}): {time.time() - t0:.1f}s", file=sys.stderr)
         t0 = time.perf_counter()
         for _ in range(steps):
-            st, metrics = tt.train_step_tf(st, x_ids, m, cfg.tts, r, lr, key,
-                                           precision=precision)
+            st, metrics = tt.train_step_tf(st, bx, bm, cfg.tts, r, lr, key,
+                                           precision=precision,
+                                           recurrence=recurrence)
         np.asarray(metrics["loss"])
         return steps / (time.perf_counter() - t0)
 
-    sps = measure("float32")
-    sps16 = measure("bfloat16")
+    # headline rows measure the PRODUCTION config (recurrence=auto -> the
+    # CBHG BiGRUs on the Pallas training kernels; the decoder group scan
+    # stays XLA — see the roofline note below); *_scan keeps the baseline
+    sps = measure("float32", recurrence=rec_prod)
+    sps16 = measure("bfloat16", recurrence=rec_prod)
+    sps16_scan = (measure("bfloat16", recurrence="scan")
+                  if rec_prod != "scan" else sps16)
+    # batch-width scaling (VERDICT r4 #2): the decoder scan's 300 serial
+    # groups are latency-bound small matmuls at bs 16 — widening the batch
+    # raises MXU rows per step at near-flat step time, so utterances/s
+    # (and MFU) scale with bs where the step rate barely drops
+    sps16_32 = measure("bfloat16", batch(32), recurrence=rec_prod)
+    sps16_64 = measure("bfloat16", batch(64), recurrence=rec_prod)
     out = {"taco_train_steps_per_s": round(sps, 2),
            "taco_train_steps_per_s_bf16": round(sps16, 2),
+           "taco_train_recurrence": rec_prod,
+           "taco_train_steps_per_s_bf16_scan": round(sps16_scan, 2),
            "taco_train_r": r, "taco_train_batch_size": bs,
-           "taco_train_mel_frames": n_frames}
+           "taco_train_mel_frames": n_frames,
+           "taco_train_steps_per_s_bf16_bs32": round(sps16_32, 2),
+           "taco_train_steps_per_s_bf16_bs64": round(sps16_64, 2),
+           "taco_train_utt_per_s_bf16": round(sps16 * bs, 1),
+           "taco_train_utt_per_s_bf16_bs64": round(sps16_64 * 64, 1)}
     flops = _xla_flops(tt.train_step_tf, state, x_ids, m, cfg.tts, r, lr,
                        key, precision="bfloat16")
     peak = peak_bf16_flops()
@@ -715,14 +793,22 @@ def streaming_bench(chunk_frames_list=(8, 16, 32),
         # first-chunk latency: feed exactly enough frames to emit the first
         # block, time until audio comes back on the host (includes one
         # device->host round trip — that IS first-audio-out latency, though
-        # the remote tunnel inflates it ~50 ms vs local PCIe)
-        sv = StreamingVocoder(params, voc, dsp, jax.random.PRNGKey(1),
-                              chunk_frames=cf)
+        # the remote tunnel inflates it ~50 ms vs local PCIe). Repeat with
+        # a fresh session and keep median + IQR: single-run rows drifted
+        # across rounds (r4's cf16 > cf32 non-monotonicity was exactly
+        # this — tunnel round-trip noise, VERDICT r4 weak #5)
         need = cf + voc.pad  # buffer starts with pad left-context frames
-        t0 = time.perf_counter()
-        first = sv.feed(mel[:, :need])
-        t_first = time.perf_counter() - t0
-        assert first.shape[0] >= cf * dsp.hop_length, first.shape
+        t_firsts = []
+        for rep in range(5):
+            sv = StreamingVocoder(params, voc, dsp, jax.random.PRNGKey(1),
+                                  chunk_frames=cf)
+            t0 = time.perf_counter()
+            first = sv.feed(mel[:, :need])
+            t_firsts.append(time.perf_counter() - t0)
+            assert first.shape[0] >= cf * dsp.hop_length, first.shape
+        t_first = float(np.median(t_firsts))
+        t_first_iqr = float(np.percentile(t_firsts, 75)
+                            - np.percentile(t_firsts, 25))
 
         # sustained: device_out mode — blocks dispatch back to back (the
         # serving loop overlaps compute with delivery), ONE fence at the
@@ -747,11 +833,20 @@ def streaming_bench(chunk_frames_list=(8, 16, 32),
             return time.perf_counter() - t0, outs
 
         sustained()
-        dt, outs = sustained()
+        dts, outs = [], None
+        for rep in range(3):
+            dt, outs = sustained()
+            dts.append(dt)
+        dt = float(np.median(dts))
+        dt_iqr = float(np.percentile(dts, 75) - np.percentile(dts, 25))
         n_sam = sum(o.shape[0] for o in outs)
         audio_s = n_sam / dsp.sample_rate
         out[f"stream_first_chunk_ms_cf{cf}"] = round(t_first * 1e3, 1)
+        out[f"stream_first_chunk_ms_cf{cf}_iqr"] = round(t_first_iqr * 1e3, 1)
         out[f"stream_rtf_cf{cf}"] = round(audio_s / dt, 1)
+        out[f"stream_rtf_cf{cf}_iqr"] = round(
+            audio_s / max(dt - dt_iqr / 2, 1e-9)
+            - audio_s / (dt + dt_iqr / 2), 1)
     _report("streaming", True,
             " ".join(f"{k}={v}" for k, v in out.items()))
     return out
@@ -781,8 +876,19 @@ def tts_batch_bench(n_utt: int = 8, steps: int = 1000) -> dict:
     import jax.numpy as jnp
 
     cfg = Config()
-    texts = [f"Utterance number {i}: scientists say they have discovered "
-             f"a new particle." for i in range(n_utt)]
+    # index by LETTERS, not digits: the one-by-one baseline compiles a
+    # single per-sentence program, so every text must tokenize to the SAME
+    # length — digits would go through number normalization ("11" ->
+    # "eleven") and change token counts mid-run, putting per-sentence
+    # recompiles inside the timed sequential region (the bench.py
+    # fence-compile trap). Two fixed letters cover n_utt <= 676.
+    texts = [f"Utterance {chr(97 + i // 26)}{chr(97 + i % 26)}: scientists "
+             f"say they have discovered a new particle."
+             for i in range(n_utt)]
+    from .text import text_to_sequence
+    tok_lens = {len(text_to_sequence(t, cfg.tts.cleaner_names))
+                for t in texts}
+    assert len(tok_lens) == 1, f"texts must share one token length: {tok_lens}"
     tparams = taco.init_tacotron(jax.random.PRNGKey(0), cfg.tts,
                                  cfg.dsp.num_mels)
     vparams = wr.init_wavernn(jax.random.PRNGKey(1), cfg.voc, cfg.dsp)
@@ -835,6 +941,51 @@ def tts_batch_bench(n_utt: int = 8, steps: int = 1000) -> dict:
             f"{t_seq*1e3:.0f}ms one-by-one ({out['tts_batch8_speedup']}x, "
             f"{out['tts_batch8_audio_s_per_s']} audio-s/s; host export "
             f"+{t_export*1e3:.0f}ms)")
+
+    # B > 8 serving batches (VERDICT r4 weak #3): the decode kernel tiles
+    # 8-row utterance groups across its grid, so N=16/32 stays on the
+    # kernel. Compare end-to-end vs the SAME path with the decode forced
+    # onto the masked scan (r4's silent fallback) — vocoder stage
+    # identical, so the delta is purely the decode engine.
+    from .models import tacotron as taco_mod
+
+    def _scan_decode(p, x, lens, tts_c, r_, steps_, n_mels, key):
+        return taco_mod._generate_scan(p, x, tts_c, r_, steps_, n_mels, key,
+                                       text_lens=lens)
+
+    for N in (16, 32):
+        textsN = [f"Utterance {chr(97 + i // 26)}{chr(97 + i % 26)}: "
+                  f"scientists say they have discovered a new particle."
+                  for i in range(N)]
+
+        def run_n(k):
+            t0 = time.perf_counter()
+            outs = tts_to_wav_batch(tparams, vparams, textsN, cfg, r,
+                                    key=jax.random.PRNGKey(k), steps=steps,
+                                    device_out=True)
+            np.asarray(jnp.stack([jnp.sum(w) for w, _ in outs]))
+            return time.perf_counter() - t0, outs
+
+        run_n(0)  # compile
+        ts_k = [run_n(i + 1)[0] for i in range(3)]
+        t_kern, outs = float(np.median(ts_k)), run_n(9)[1]
+        audio_n = sum(w.shape[-1] for w, _ in outs) / cfg.dsp.sample_rate
+        orig = taco_mod._generate_kernel_batch
+        taco_mod._generate_kernel_batch = _scan_decode
+        try:
+            run_n(0)  # compile the scan-decode variant
+            t_scan = float(np.median([run_n(200 + i)[0] for i in range(3)]))
+        finally:
+            taco_mod._generate_kernel_batch = orig
+        out[f"tts_batch{N}_s"] = round(t_kern, 3)
+        out[f"tts_batch{N}_scan_decode_s"] = round(t_scan, 3)
+        out[f"tts_batch{N}_vs_scan_decode"] = round(t_scan / t_kern, 2)
+        out[f"tts_batch{N}_audio_s_per_s"] = round(audio_n / t_kern, 1)
+        _report(f"tts-batch{N}", True,
+                f"{N} sentences in {t_kern*1e3:.0f}ms (kernel decode) vs "
+                f"{t_scan*1e3:.0f}ms (scan decode) = "
+                f"{out[f'tts_batch{N}_vs_scan_decode']}x, "
+                f"{out[f'tts_batch{N}_audio_s_per_s']} audio-s/s")
     return out
 
 
@@ -906,12 +1057,20 @@ def multistream_bench(n_streams: int = 8, chunk_frames: int = 16,
         return time.perf_counter() - t0, outs
 
     sustained()
-    dt, outs = sustained()
+    dts, outs = [], None
+    for rep in range(3):
+        dt, outs = sustained()
+        dts.append(dt)
+    dt = float(np.median(dts))
+    dt_iqr = float(np.percentile(dts, 75) - np.percentile(dts, 25))
     audio_s = sum(o.shape[0] for o in outs) / dsp.sample_rate
 
     out = {
         f"stream{n_streams}_first_chunk_ms": round(t_first * 1e3, 1),
         f"stream{n_streams}_aggregate_rtf": round(audio_s / dt, 1),
+        f"stream{n_streams}_aggregate_rtf_iqr": round(
+            audio_s / max(dt - dt_iqr / 2, 1e-9)
+            - audio_s / (dt + dt_iqr / 2), 1),
         f"stream{n_streams}_rtf_per_stream": round(audio_s / dt / n_streams,
                                                    2),
     }

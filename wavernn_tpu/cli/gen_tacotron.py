@@ -113,6 +113,10 @@ def main(argv=None):
         with open(sent_file) as f:
             inputs = [line.strip() for line in f if line.strip()]
 
+    if getattr(args, "batch_sentences", False) and args.vocoder != "wavernn":
+        print("| WARNING: --batch_sentences needs the wavernn vocoder "
+              "(the batched serving path is the one vocoder kernel launch); "
+              "falling back to the per-sentence griffinlim loop")
     if getattr(args, "batch_sentences", False) and args.vocoder == "wavernn":
         from ..synthesis import tts_to_wav_batch
         if args.save_attention:
