@@ -306,3 +306,72 @@ def test_batched_tacotron_decode_kernel_on_hardware(tpu_backend):
                                atol=5e-4)
     np.testing.assert_allclose(np.asarray(mel_k), np.asarray(mel_s),
                                atol=5e-3)
+
+
+def test_training_gru_kernels_on_hardware(tpu_backend):
+    """Training-recurrence kernels (ops/pallas_gru.py) on silicon: fwd
+    parity vs the scan and custom-VJP gradients at the production shape
+    (B=32, T=1375, H=512), f32 and bf16."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from wavernn_tpu.ops.pallas_gru import gru_seq_tm, gru_seq_ref
+
+    T, B, H = 1375, 32, 512
+    rng = np.random.RandomState(0)
+    gi = jnp.asarray(rng.randn(T, B, 3 * H).astype(np.float32) * 0.5)
+    wh = jnp.asarray(rng.randn(H, 3 * H).astype(np.float32) * 0.04)
+    bh = jnp.asarray(rng.randn(3 * H).astype(np.float32) * 0.04)
+    h0 = jnp.zeros((B, H), jnp.float32)
+    co = jnp.asarray(rng.randn(T, B, H).astype(np.float32) * 0.1)
+
+    for dt, tol_y, tol_g in ((jnp.float32, 2e-3, 5e-3),
+                             (jnp.bfloat16, 2e-2, 1.5e-1)):
+        a = tuple(v.astype(dt) for v in (gi, wh, bh, h0))
+        ys_k = jax.jit(partial(gru_seq_tm, chunk=64))(*a)
+        ys_r = jax.jit(gru_seq_ref)(*a)
+        err = float(jnp.max(jnp.abs(ys_k.astype(jnp.float32)
+                                    - ys_r.astype(jnp.float32))))
+        assert err < tol_y, (dt, err)
+
+        lk = lambda *q: jnp.sum(gru_seq_tm(*q) * co.astype(dt))
+        lr_ = lambda *q: jnp.sum(gru_seq_ref(*q) * co.astype(dt))
+        gk = jax.jit(jax.grad(lk, argnums=(0, 1)))(*a)
+        gr = jax.jit(jax.grad(lr_, argnums=(0, 1)))(*a)
+        for x_, y_, name in zip(gk, gr, ("dgi", "dwh")):
+            x_ = np.asarray(x_, np.float32)
+            y_ = np.asarray(y_, np.float32)
+            rel = np.abs(x_ - y_).max() / (np.abs(y_).max() + 1e-6)
+            assert rel < tol_g, (dt, name, rel)
+
+
+def test_train_step_pallas_recurrence_on_hardware(tpu_backend):
+    """Full WaveRNN train step, recurrence=pallas vs scan on silicon:
+    loss parity at the production shape (the BENCH train rows measure the
+    pallas path — this gates its numerics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wavernn_tpu.config import Config
+    from wavernn_tpu.train import wavernn_train as wt
+
+    cfg = Config()
+    dsp, voc = cfg.dsp, cfg.voc
+    seq_len = cfg.voc_train.seq_len
+    mel_win = seq_len // dsp.hop_length + 2 * voc.pad
+    rng = np.random.RandomState(0)
+    B = 32
+    x = jnp.asarray(rng.uniform(-1, 1, (B, seq_len)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-1, 1, (B, seq_len)).astype(np.float32))
+    m = jnp.asarray(rng.uniform(0, 1, (B, dsp.num_mels, mel_win))
+                    .astype(np.float32))
+    state = wt.create_train_state(jax.random.PRNGKey(0), voc, dsp, 1e-4)
+
+    losses = {}
+    for rec in ("scan", "pallas"):
+        _, metrics = wt.train_step(state, x, y, m, voc, dsp, 1e-4, 4.0,
+                                   "bfloat16", None, rec)
+        losses[rec] = float(metrics["loss"])
+    assert abs(losses["scan"] - losses["pallas"]) < 2e-3 * abs(
+        losses["scan"]), losses

