@@ -408,15 +408,29 @@ def forward(params, x_ids, m, tts: TacotronConfig, r: int, key,
             jnp.moveaxis(tf_in, 2, 0).reshape(n_groups * B, n_mels),
             k_pre, training, tts.dropout).reshape(n_groups, B, -1)
 
-        def step(state, inp):
-            k, pre_in = inp
-            mels, scores, state = decoder_step(
-                dec, encoder_seq, encoder_seq_proj, pre_in, state, tts, r,
-                n_mels, k, training, prenet_precomputed=True)
-            return state, (mels, scores)
+        if training and recurrence in ("pallas", "pallas_interpret"):
+            # run the whole TF decoder recurrence (fwd + custom VJP) on
+            # the persistent-weights training kernels — the scan twin
+            # below is the spec (ops/pallas_taco_train.py; zoneout masks
+            # drawn with the scan's exact key stream)
+            from ..ops.pallas_taco_train import (decoder_tf_train,
+                                                zoneout_masks)
+            zm1, zm2 = zoneout_masks(k_dec, n_groups, B, tts.lstm_dims)
+            mel_groups, attn_scores = decoder_tf_train(
+                dec, encoder_seq, encoder_seq_proj, pre_all, zm1, zm2,
+                tts.max_r, r, n_mels,
+                impl=("pallas_interpret"
+                      if recurrence == "pallas_interpret" else "pallas"))
+        else:
+            def step(state, inp):
+                k, pre_in = inp
+                mels, scores, state = decoder_step(
+                    dec, encoder_seq, encoder_seq_proj, pre_in, state, tts,
+                    r, n_mels, k, training, prenet_precomputed=True)
+                return state, (mels, scores)
 
-        xs = (step_keys, pre_all)
-        _, (mel_groups, attn_scores) = jax.lax.scan(step, state0, xs)
+            xs = (step_keys, pre_all)
+            _, (mel_groups, attn_scores) = jax.lax.scan(step, state0, xs)
     elif mode in ("attention_forcing_online", "attention_forcing_offline"):
         assert attn_ref is not None, \
             "attention_forcing mode requires attn_ref (tacotron.py:395)"
