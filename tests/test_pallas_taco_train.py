@@ -126,3 +126,65 @@ def test_ref_twin_matches_kernel():
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(at_r), np.asarray(at_i),
                                atol=2e-6)
+
+
+def test_eval_mode_tf_parity():
+    """Eval-mode TF forward (the AF-online teacher / GTA export path)
+    rides the kernel with zero zoneout masks — exact vs the eval scan."""
+    tts, params, x, m = _setup(G=6)
+    key = jax.random.PRNGKey(5)
+    out_s = taco.forward(params, x, m, tts, 2, key, mode="teacher_forcing",
+                         training=False, recurrence="scan")
+    out_k = taco.forward(params, x, m, tts, 2, key, mode="teacher_forcing",
+                         training=False, recurrence="pallas_interpret")
+    for a, b in zip(out_s[:3], out_k[:3]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def _attn_ref_for(tts, params, x, m, r):
+    _, _, attn, _ = taco.forward(params, x, m, tts, r,
+                                 jax.random.PRNGKey(99),
+                                 mode="teacher_forcing", training=False)
+    return jax.lax.stop_gradient(attn)
+
+
+@pytest.mark.parametrize("training", [True, False])
+def test_af_forward_parity(training):
+    """Attention-forcing forward (context from attn_ref, in-kernel prenet
+    with the scan's dropout key stream) matches the scan path."""
+    tts, params, x, m = _setup(G=6)
+    key = jax.random.PRNGKey(13)
+    aref = _attn_ref_for(tts, params, x, m, 2)
+    out_s = taco.forward(params, x, m, tts, 2, key,
+                         mode="attention_forcing_online", training=training,
+                         attn_ref=aref, recurrence="scan")
+    out_k = taco.forward(params, x, m, tts, 2, key,
+                         mode="attention_forcing_online", training=training,
+                         attn_ref=aref, recurrence="pallas_interpret")
+    for name, a, b in zip(("mel", "linear", "attn"), out_s[:3], out_k[:3]):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(
+            a, b, atol=3e-5 * max(1.0, np.max(np.abs(a))),
+            err_msg=f"AF kernel-vs-scan mismatch in {name}")
+
+
+def test_af_grad_parity():
+    """AF-offline loss (mel L1 + attention L1 -> nonzero scores cotangent
+    AND attn_ref cotangent path) grads match autodiff of the scan."""
+    from wavernn_tpu.train.tacotron_train import loss_af
+    tts, params, x, m = _setup(G=6)
+    key = jax.random.PRNGKey(13)
+    aref = _attn_ref_for(tts, params, x, m, 2)
+
+    def grads(rec):
+        return jax.grad(
+            lambda p: loss_af(p, x, m, aref, tts, 2, key, 1.0,
+                              offline=True, recurrence=rec)[0])(params)
+
+    gs = jax.tree_util.tree_flatten_with_path(grads("scan"))[0]
+    gk = jax.tree_util.tree_leaves(grads("pallas_interpret"))
+    for (path, a), b in zip(gs, gk):
+        a, b = np.asarray(a), np.asarray(b)
+        err = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-7)
+        assert err < 1e-3, (f"AF grad mismatch at "
+                            f"{jax.tree_util.keystr(path)}: rel={err:.2e}")

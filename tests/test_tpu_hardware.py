@@ -375,3 +375,90 @@ def test_train_step_pallas_recurrence_on_hardware(tpu_backend):
         losses[rec] = float(metrics["loss"])
     assert abs(losses["scan"] - losses["pallas"]) < 2e-3 * abs(
         losses["scan"]), losses
+
+
+def test_taco_tf_decoder_train_kernels_on_hardware(tpu_backend):
+    """Tacotron TF-decoder training kernels (fwd + custom VJP,
+    ops/pallas_taco_train.py) on silicon: forward parity and per-leaf
+    gradient parity vs the scan run at f32-highest matmul precision (the
+    BENCH taco_train rows measure this path — this gates its numerics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wavernn_tpu.config import TacotronConfig
+    from wavernn_tpu.models import tacotron as taco
+    from wavernn_tpu.train.tacotron_train import loss_tf
+
+    tts = TacotronConfig(embed_dims=32, encoder_dims=128, decoder_dims=256,
+                         postnet_dims=32, encoder_K=2, lstm_dims=512,
+                         postnet_K=2, num_highways=1)
+    B, T_text, r, G = 16, 72, 2, 12
+    params = taco.init_tacotron(jax.random.PRNGKey(0), tts, 80)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randint(1, 148, (B, T_text)))
+    m = jnp.asarray(rng.randn(B, 80, G * r).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+
+    with jax.default_matmul_precision("float32"):
+        grads, fwds = {}, {}
+        for rec in ("scan", "pallas"):
+            grads[rec] = jax.grad(
+                lambda p: loss_tf(p, x, m, tts, r, key,
+                                  recurrence=rec)[0])(params)
+            fwds[rec] = taco.forward(params, x, m, tts, r, key,
+                                     mode="teacher_forcing", training=True,
+                                     recurrence=rec)
+    for name, a, b in zip(("mel", "linear", "attn"), fwds["scan"][:3],
+                          fwds["pallas"][:3]):
+        a, b = np.asarray(a), np.asarray(b)
+        err = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
+        assert err < 1e-3, f"fwd {name}: rel={err:.2e}"
+    for (path, a), b in zip(
+            jax.tree_util.tree_flatten_with_path(grads["scan"])[0],
+            jax.tree_util.tree_leaves(grads["pallas"])):
+        a, b = np.asarray(a), np.asarray(b)
+        err = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-7)
+        assert err < 2e-3, (f"grad mismatch at "
+                            f"{jax.tree_util.keystr(path)}: rel={err:.2e}")
+
+
+def test_taco_af_decoder_train_kernels_on_hardware(tpu_backend):
+    """Attention-forcing decoder training kernels on silicon (fwd + custom
+    VJP through the in-kernel prenet and the attn_ref context): gradient
+    parity vs the scan at f32-highest precision.  Tolerance is looser than
+    the TF gate: AF feeds the mel output back through the prenet, so the
+    forward is recurrent through mel and summation-order differences
+    amplify (~3e-3 observed; the same-order CPU interpret test pins the
+    math at <1e-3, tests/test_pallas_taco_train.py::test_af_grad_parity)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wavernn_tpu.config import TacotronConfig
+    from wavernn_tpu.models import tacotron as taco
+    from wavernn_tpu.train.tacotron_train import loss_af
+
+    tts = TacotronConfig(embed_dims=32, encoder_dims=128, decoder_dims=256,
+                         postnet_dims=32, encoder_K=2, lstm_dims=512,
+                         postnet_K=2, num_highways=1)
+    B, T_text, r, G = 16, 72, 2, 12
+    params = taco.init_tacotron(jax.random.PRNGKey(0), tts, 80)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randint(1, 148, (B, T_text)))
+    m = jnp.asarray(rng.randn(B, 80, G * r).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+    aref = jax.lax.stop_gradient(
+        taco.forward(params, x, m, tts, r, jax.random.PRNGKey(99),
+                     mode="teacher_forcing", training=False)[2])
+
+    with jax.default_matmul_precision("float32"):
+        grads = {rec: jax.grad(
+            lambda p: loss_af(p, x, m, aref, tts, r, key, 1.0,
+                              offline=True, recurrence=rec)[0])(params)
+            for rec in ("scan", "pallas")}
+    for (path, a), b in zip(
+            jax.tree_util.tree_flatten_with_path(grads["scan"])[0],
+            jax.tree_util.tree_leaves(grads["pallas"])):
+        a, b = np.asarray(a), np.asarray(b)
+        err = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-7)
+        assert err < 1e-2, (f"AF grad mismatch at "
+                            f"{jax.tree_util.keystr(path)}: rel={err:.2e}")

@@ -518,22 +518,21 @@ def taco_train_bench(steps: int = 20) -> dict:
     train_tacotron.py:156-228). LJSpeech-like shapes: 72 chars, 600 mel
     frames. Back-to-back dispatch, single fence (pipelined steady state).
 
-    Measured bound (v5e, r5 writeup — VERDICT r4 item 2): the step is the
-    DECODER's 300 sequential r-frame groups, not the parallel encoder/
-    postnet. Perfetto trace of the bf16 v&g: decoder forward scan ~6.9 ms
-    + decoder backward scan ~11.3 ms of a ~24 ms step; each group is a
-    prenet+attn-GRU+LSA-conv+2xLSTM+mel_proj chain of (16, ~512) matmuls
-    — serial-latency bound at ~12% MXU occupancy, and the backward scan
-    re-materializes the chain per group. What was extractable without a
-    full custom-VJP decoder kernel: hoisting the TF prenet out of the scan
-    (ground-truth input -> one batch GEMM pair) and running the CBHG
-    BiGRUs on the Pallas recurrence kernels — together r4 35.3 -> ~44
-    steps/s at bs 16 (+25%). The production lever is BATCH WIDTH: the
-    serial chain's cost is nearly flat in rows, so bs 32/64 deliver
-    ~1.5x/2.2x the utterances/s at the same wall-clock-per-group (rows
-    below); a training-decoder Pallas kernel (fwd+bwd through attention
-    state) is the remaining 2x+ and is left as the one un-kernelized
-    recurrence."""
+    Measured bound (v5e, r5): the step is the DECODER's 300 sequential
+    r-frame groups, not the parallel encoder/postnet — a Perfetto trace
+    of the bf16 scan v&g showed decoder fwd ~6.9 ms + bwd ~11.3 ms of a
+    ~24 ms step, each group a prenet+attn-GRU+LSA-conv+2xLSTM+mel_proj
+    chain of (16, ~512) matmuls at ~12% MXU occupancy whose backward
+    re-materializes the chain per group. The production path (recurrence
+    "auto") now runs that recurrence as the persistent-weights TF-decoder
+    training kernels (fwd + custom VJP, ops/pallas_taco_train.py) with
+    the TF prenet hoisted and the CBHG BiGRUs on the GRU training
+    kernels: r4 35.3 -> 77 bf16 steps/s at bs 16 (1.9x the same-session
+    scan, *_scan row), 66/s at bs 32 (~2100 utt/s), 39/s at bs 64
+    (~2500 utt/s). The remaining step is latency-bound inside the kernel
+    (per-group dependency chain + lane-rolls/transposes, not matmul
+    FLOPs — bf16-vs-f32 matmul operands measure identical), so batch
+    WIDTH remains the utterances/s lever."""
     import jax
     import jax.numpy as jnp
 
@@ -579,8 +578,8 @@ def taco_train_bench(steps: int = 20) -> dict:
         return steps / (time.perf_counter() - t0)
 
     # headline rows measure the PRODUCTION config (recurrence=auto -> the
-    # CBHG BiGRUs on the Pallas training kernels; the decoder group scan
-    # stays XLA — see the roofline note below); *_scan keeps the baseline
+    # TF decoder recurrence on the Pallas training kernels, CBHG BiGRUs
+    # on the GRU kernels); *_scan keeps the XLA baseline for comparison
     sps = measure("float32", recurrence=rec_prod)
     sps16 = measure("bfloat16", recurrence=rec_prod)
     sps16_scan = (measure("bfloat16", recurrence="scan")

@@ -60,12 +60,16 @@ def main(argv=None):
                                                 cfg)
 
     if args.force_gta or args.force_attn:
+        from ..utils.backend import resolve_recurrence
+        rec = resolve_recurrence(cfg.tts_train.recurrence)
         r = tt.session_for_step(cfg.tts_train.schedule, int(state.step))[0]
         ds, _ = get_tts_datasets(ws.data, 8, r, cfg, seed=args.seed)
         if args.force_gta:
-            tt.create_gta_features(state.params, ds, cfg.tts, r, ws.gta)
+            tt.create_gta_features(state.params, ds, cfg.tts, r, ws.gta,
+                                   recurrence=rec)
         if args.force_attn:
-            tt.create_attn_ref(state.params, ds, cfg.tts, r, ws.attn)
+            tt.create_attn_ref(state.params, ds, cfg.tts, r, ws.attn,
+                               recurrence=rec)
         return
 
     # in-path SPMD over every device (reference in-loop DataParallel,

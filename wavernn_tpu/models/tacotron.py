@@ -408,14 +408,20 @@ def forward(params, x_ids, m, tts: TacotronConfig, r: int, key,
             jnp.moveaxis(tf_in, 2, 0).reshape(n_groups * B, n_mels),
             k_pre, training, tts.dropout).reshape(n_groups, B, -1)
 
-        if training and recurrence in ("pallas", "pallas_interpret"):
+        if recurrence in ("pallas", "pallas_interpret"):
             # run the whole TF decoder recurrence (fwd + custom VJP) on
             # the persistent-weights training kernels — the scan twin
             # below is the spec (ops/pallas_taco_train.py; zoneout masks
-            # drawn with the scan's exact key stream)
+            # drawn with the scan's exact key stream). Eval-mode TF (the
+            # AF-online teacher, GTA/attn-ref export) rides the same
+            # kernel with zero masks (zoneout off == passthrough).
             from ..ops.pallas_taco_train import (decoder_tf_train,
                                                 zoneout_masks)
-            zm1, zm2 = zoneout_masks(k_dec, n_groups, B, tts.lstm_dims)
+            if training:
+                zm1, zm2 = zoneout_masks(k_dec, n_groups, B, tts.lstm_dims)
+            else:
+                zm1 = zm2 = jnp.zeros((n_groups, B, tts.lstm_dims),
+                                      jnp.bool_)
             mel_groups, attn_scores = decoder_tf_train(
                 dec, encoder_seq, encoder_seq_proj, pre_all, zm1, zm2,
                 tts.max_r, r, n_mels,
@@ -435,15 +441,32 @@ def forward(params, x_ids, m, tts: TacotronConfig, r: int, key,
         assert attn_ref is not None, \
             "attention_forcing mode requires attn_ref (tacotron.py:395)"
 
-        def step(state, inp):
-            k, a_ref = inp
-            mels, scores, state = decoder_step(
-                dec, encoder_seq, encoder_seq_proj, state.prev_frame, state,
-                tts, r, n_mels, k, training, attn_ref=a_ref)
-            return state, (mels, scores)
+        if recurrence in ("pallas", "pallas_interpret"):
+            # AF decoder recurrence on the training kernels: context from
+            # attn_ref, prenet in-kernel on the carried prev_frame with
+            # the scan's exact dropout/zoneout key stream
+            # (ops/pallas_taco_train.py AF arm)
+            from ..ops.pallas_taco_train import af_masks, decoder_af_train
+            P1 = dec["prenet"]["fc1"]["w"].shape[1]
+            P2 = dec["prenet"]["fc2"]["w"].shape[1]
+            dm1, dm2, zm1, zm2 = af_masks(k_dec, n_groups, B,
+                                          tts.lstm_dims, P1, P2, training,
+                                          tts.dropout)
+            mel_groups, attn_scores = decoder_af_train(
+                dec, encoder_seq, encoder_seq_proj, attn_ref, dm1, dm2,
+                zm1, zm2, tts.max_r, r, n_mels,
+                impl=("pallas_interpret"
+                      if recurrence == "pallas_interpret" else "pallas"))
+        else:
+            def step(state, inp):
+                k, a_ref = inp
+                mels, scores, state = decoder_step(
+                    dec, encoder_seq, encoder_seq_proj, state.prev_frame,
+                    state, tts, r, n_mels, k, training, attn_ref=a_ref)
+                return state, (mels, scores)
 
-        xs = (step_keys, jnp.moveaxis(attn_ref, 1, 0))
-        _, (mel_groups, attn_scores) = jax.lax.scan(step, state0, xs)
+            xs = (step_keys, jnp.moveaxis(attn_ref, 1, 0))
+            _, (mel_groups, attn_scores) = jax.lax.scan(step, state0, xs)
     elif mode == "free_running":
         def step(state, k):
             mels, scores, state = decoder_step(

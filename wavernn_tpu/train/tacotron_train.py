@@ -122,13 +122,15 @@ def train_step_af(state: TTSTrainState, x_ids, m, attn_ref,
              "attn": attn})
 
 
-@partial(jax.jit, static_argnames=("tts", "r"))
+@partial(jax.jit, static_argnames=("tts", "r", "recurrence"))
 def teacher_attn_ref(teacher_params, x_ids, m, tts: TacotronConfig, r: int,
-                     key):
+                     key, recurrence: str = "scan"):
     """AF-online: frozen TF teacher produces attn_ref for a batch, no grads
-    (train_tacotron.py:268-278)."""
+    (train_tacotron.py:268-278).  recurrence="pallas" runs the eval-mode
+    TF decode on the training kernels (zero zoneout masks)."""
     _, _, attn, _ = taco.forward(teacher_params, x_ids, m, tts, r, key,
-                                 mode="teacher_forcing", training=False)
+                                 mode="teacher_forcing", training=False,
+                                 recurrence=recurrence)
     return jax.lax.stop_gradient(attn)
 
 
@@ -217,7 +219,8 @@ def train_loop(cfg: Config, workspace, state: TTSTrainState,
                     attn_ref = teacher_attn_ref(teacher_params,
                                                 jnp.asarray(chars),
                                                 jnp.asarray(mel), cfg.tts, r,
-                                                k_teacher)
+                                                k_teacher,
+                                                recurrence=recurrence)
                     state, metrics = train_step_af(
                         state, jnp.asarray(chars), jnp.asarray(mel), attn_ref,
                         cfg.tts, r, lr, k_step,
@@ -276,16 +279,19 @@ def train_loop(cfg: Config, workspace, state: TTSTrainState,
 # --------------------------------------------------------------------------
 
 def create_gta_features(params, dataset, tts: TacotronConfig, r: int,
-                        save_dir, log=print):
+                        save_dir, log=print, recurrence: str = "scan"):
     """Teacher-forced eval forward over the train set; save postnet output
-    rescaled (mel+4)/8, truncated to the true mel length."""
+    rescaled (mel+4)/8, truncated to the true mel length.  On a TPU
+    backend pass recurrence="pallas" to run the eval-mode TF decode on
+    the training kernels."""
     import numpy as np
     save_dir.mkdir(parents=True, exist_ok=True)
     for i, (x_ids, m, ids, mel_lens) in enumerate(dataset):
         _, gta, _, _ = taco.forward(
             jax.tree_util.tree_map(jnp.asarray, params), jnp.asarray(x_ids),
             jnp.asarray(m), tts, r, jax.random.PRNGKey(0),
-            mode="teacher_forcing", training=False, generate_gta=True)
+            mode="teacher_forcing", training=False, generate_gta=True,
+            recurrence=recurrence)
         gta = np.asarray(gta)
         gta = (gta + 4.0) / 8.0
         for j, item_id in enumerate(ids):
@@ -295,7 +301,7 @@ def create_gta_features(params, dataset, tts: TacotronConfig, r: int,
 
 
 def create_attn_ref(params, dataset, tts: TacotronConfig, r: int, save_dir,
-                    log=print):
+                    log=print, recurrence: str = "scan"):
     """Save teacher-forced attention maps for offline attention forcing."""
     import numpy as np
     save_dir.mkdir(parents=True, exist_ok=True)
@@ -303,7 +309,8 @@ def create_attn_ref(params, dataset, tts: TacotronConfig, r: int, save_dir,
         _, _, attn, _ = taco.forward(
             jax.tree_util.tree_map(jnp.asarray, params), jnp.asarray(x_ids),
             jnp.asarray(m), tts, r, jax.random.PRNGKey(0),
-            mode="teacher_forcing", training=False, generate_gta=True)
+            mode="teacher_forcing", training=False, generate_gta=True,
+            recurrence=recurrence)
         attn = np.asarray(attn)
         for j, item_id in enumerate(ids):
             np.save(save_dir / f"{item_id}.npy", attn[j], allow_pickle=False)
