@@ -100,3 +100,19 @@ def reference_modules():
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+import pytest as _pytest_mod
+
+
+@_pytest_mod.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module: a full-suite run
+    accumulates hundreds of XLA CPU programs in one process and the CPU
+    compiler has twice aborted (SIGSEGV r3/r4, SIGABRT r5) compiling the
+    big batched-decode scan near the 30% mark — every affected file passes
+    in isolation. Costs some recompiles of shared tiny programs; keeps the
+    one-process `pytest tests/` run viable."""
+    yield
+    import jax as _jax
+    _jax.clear_caches()

@@ -294,3 +294,45 @@ def test_batched_decode_b12_ragged_last_group():
     np.testing.assert_array_equal(np.asarray(nv_k), nv_s)
     np.testing.assert_allclose(np.asarray(mel_k), mel_s, atol=2e-4)
     np.testing.assert_allclose(np.asarray(attn_k), attn_s, atol=2e-5)
+
+
+def test_stacked_decode_parity_mixed_lengths():
+    """B=10 mixed-length batch through the LANE-STACKED decode kernel ==
+    the masked scan: every utterance advances in the same plane ops per
+    step (the B > 8 serving path, models/tacotron._generate_kernel_batch
+    routing)."""
+    from wavernn_tpu.ops.pallas_taco import decode_pallas_stacked
+
+    tts = _tts()
+    lens = [5, 15, 9, 12, 7, 14, 6, 11, 13, 8]
+    params, x, lens_a, enc, encp, tm = _setup_batch(tts, lens)
+    r, steps = 2, 24
+    mel_k, attn_k, nv_k = decode_pallas_stacked(params, enc, encp, tm, tts,
+                                                r, steps, N_MELS,
+                                                interpret=True)
+    mel_s, attn_s, nv_s = _scan_batch(params, x, lens_a, tts, r, steps)
+    np.testing.assert_array_equal(np.asarray(nv_k), nv_s)
+    np.testing.assert_allclose(np.asarray(mel_k), mel_s, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(attn_k), attn_s, atol=2e-5)
+
+
+def test_stacked_decode_stop_and_freeze():
+    """Per-utterance stops in the stacked kernel: stopped rows freeze
+    (state rows AND attention lanes) while live rows continue; the
+    triggering group counts as valid; all-stopped replays the held
+    group."""
+    from wavernn_tpu.ops.pallas_taco import decode_pallas_stacked
+
+    r = 2
+    tts = dataclasses.replace(_tts(), stop_threshold=10.0)
+    lens = [7, 11, 4, 9, 13, 5, 8, 10, 6]
+    params, x, lens_a, enc, encp, tm = _setup_batch(tts, lens, seed=5)
+    steps = 64
+    mel_k, attn_k, nv_k = decode_pallas_stacked(params, enc, encp, tm, tts,
+                                                r, steps, N_MELS,
+                                                interpret=True)
+    mel_s, attn_s, nv_s = _scan_batch(params, x, lens_a, tts, r, steps)
+    np.testing.assert_array_equal(np.asarray(nv_k), nv_s)
+    assert int(np.asarray(nv_k).max()) < steps // r
+    np.testing.assert_allclose(np.asarray(mel_k), mel_s, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(attn_k), attn_s, atol=2e-5)

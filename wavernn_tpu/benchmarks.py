@@ -590,6 +590,35 @@ def taco_train_bench(steps: int = 20) -> dict:
     # (and MFU) scale with bs where the step rate barely drops
     sps16_32 = measure("bfloat16", batch(32), recurrence=rec_prod)
     sps16_64 = measure("bfloat16", batch(64), recurrence=rec_prod)
+
+    # attention-forcing row (the fork's research training mode,
+    # train_tacotron.py:340-430): the AF decoder recurrence rides the
+    # same kernels — context from attn_ref, prenet in-kernel on the
+    # carried prev_frame (ops/pallas_taco_train.py AF arm)
+    ar = rng.rand(bs, n_frames // r, n_chars).astype(np.float32)
+    ar = jnp.asarray(ar / ar.sum(-1, keepdims=True))
+
+    def measure_af(precision, recurrence):
+        st = state
+        t0 = time.time()
+        for _ in range(3):
+            st, metrics = tt.train_step_af(
+                st, x_ids, m, ar, cfg.tts, r, lr, key, offline=True,
+                precision=precision, recurrence=recurrence)
+            np.asarray(metrics["loss"])
+        print(f"taco AF train compile+warmup ({precision}, {recurrence}): "
+              f"{time.time() - t0:.1f}s", file=sys.stderr)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            st, metrics = tt.train_step_af(
+                st, x_ids, m, ar, cfg.tts, r, lr, key, offline=True,
+                precision=precision, recurrence=recurrence)
+        np.asarray(metrics["loss"])
+        return steps / (time.perf_counter() - t0)
+
+    sps16_af = measure_af("bfloat16", rec_prod)
+    sps16_af_scan = (measure_af("bfloat16", "scan")
+                     if rec_prod != "scan" else sps16_af)
     out = {"taco_train_steps_per_s": round(sps, 2),
            "taco_train_steps_per_s_bf16": round(sps16, 2),
            "taco_train_recurrence": rec_prod,
@@ -599,7 +628,9 @@ def taco_train_bench(steps: int = 20) -> dict:
            "taco_train_steps_per_s_bf16_bs32": round(sps16_32, 2),
            "taco_train_steps_per_s_bf16_bs64": round(sps16_64, 2),
            "taco_train_utt_per_s_bf16": round(sps16 * bs, 1),
-           "taco_train_utt_per_s_bf16_bs64": round(sps16_64 * 64, 1)}
+           "taco_train_utt_per_s_bf16_bs64": round(sps16_64 * 64, 1),
+           "taco_train_af_steps_per_s_bf16": round(sps16_af, 2),
+           "taco_train_af_steps_per_s_bf16_scan": round(sps16_af_scan, 2)}
     flops = _xla_flops(tt.train_step_tf, state, x_ids, m, cfg.tts, r, lr,
                        key, precision="bfloat16")
     peak = peak_bf16_flops()
@@ -997,10 +1028,43 @@ def tts_batch_bench(n_utt: int = 8, steps: int = 1000) -> dict:
         out[f"tts_batch{N}_scan_decode_s"] = round(t_scan, 3)
         out[f"tts_batch{N}_vs_scan_decode"] = round(t_scan / t_kern, 2)
         out[f"tts_batch{N}_audio_s_per_s"] = round(audio_n / t_kern, 1)
+
+        # isolated decode-stage comparison (fenced): the end-to-end ratio
+        # above is vocoder/transport-dominated (decode is ~10% of a
+        # ~300 ms pipeline, so its ratio sits inside run noise); this row
+        # is the decode itself — B > 8 rides the lane-stacked kernel
+        seqsN = [jnp.asarray(np.asarray(
+            text_to_sequence(t, cfg.tts.cleaner_names))) for t in textsN]
+        xN = jnp.stack(seqsN)
+        lensN = jnp.asarray([s.shape[0] for s in seqsN])
+        kd = jax.random.PRNGKey(5)
+
+        def pipelined(fn, n=6):
+            # back-to-back dispatch, one fence (the repo's bench protocol:
+            # per-call fencing would put the ~20-35 ms tunnel RTT inside
+            # every rep, bench.py:104-110)
+            jax.block_until_ready(fn())
+            t0_ = time.perf_counter()
+            out_ = None
+            for _ in range(n):
+                out_ = fn()
+            jax.block_until_ready(out_)
+            return (time.perf_counter() - t0_) / n
+
+        td_k = pipelined(lambda: taco_mod._generate_kernel_batch(
+            tparams, xN, lensN, cfg.tts, r, steps, cfg.dsp.num_mels, kd))
+        td_s = pipelined(lambda: taco_mod._generate_scan(
+            tparams, xN, cfg.tts, r, steps, cfg.dsp.num_mels, kd,
+            text_lens=lensN))
+        out[f"tts_batch{N}_decode_ms_kernel"] = round(td_k * 1e3, 1)
+        out[f"tts_batch{N}_decode_ms_scan"] = round(td_s * 1e3, 1)
+        out[f"tts_batch{N}_decode_kernel_vs_scan"] = round(td_s / td_k, 2)
         _report(f"tts-batch{N}", True,
                 f"{N} sentences in {t_kern*1e3:.0f}ms (kernel decode) vs "
                 f"{t_scan*1e3:.0f}ms (scan decode) = "
-                f"{out[f'tts_batch{N}_vs_scan_decode']}x, "
+                f"{out[f'tts_batch{N}_vs_scan_decode']}x e2e; decode alone "
+                f"{td_k*1e3:.0f} vs {td_s*1e3:.0f}ms = "
+                f"{out[f'tts_batch{N}_decode_kernel_vs_scan']}x, "
                 f"{out[f'tts_batch{N}_audio_s_per_s']} audio-s/s")
     return out
 

@@ -663,11 +663,15 @@ def generate(params, x_ids, tts: TacotronConfig, r: int, n_mels: int = 80,
 def _generate_kernel_batch(params, x_ids, text_lens, tts: TacotronConfig,
                            r: int, steps: int, n_mels: int, key,
                            interpret: bool = False):
-    """Batched free-running decode on the persistent-weights kernel
-    (ops/pallas_taco.decode_pallas_batch, B <= 8): length-aware encoder +
-    postnet stay XLA, all B sequential group loops run in ONE launch.
+    """Batched free-running decode on the persistent-weights kernels:
+    length-aware encoder + postnet stay XLA, all B group loops run in ONE
+    launch. B <= 8 uses the sublane-row-packed kernel
+    (decode_pallas_batch); larger batches use the LANE-STACKED kernel
+    (decode_pallas_stacked) where every utterance advances in the same
+    plane ops per step — the row-packed kernel tiles 8-utterance groups
+    across the grid sequentially, which merely matches the scan by B=16.
     Same outputs as `_generate_scan(..., text_lens=...)`."""
-    from ..ops.pallas_taco import decode_pallas_batch
+    from ..ops.pallas_taco import decode_pallas_batch, decode_pallas_stacked
 
     k_enc, _ = jax.random.split(key)
     encoder_seq, _ = encoder_apply(params["encoder"], x_ids, k_enc, False,
@@ -680,7 +684,9 @@ def _generate_kernel_batch(params, x_ids, text_lens, tts: TacotronConfig,
     # masked scores see clean context planes
     encoder_seq = encoder_seq * text_mask[..., None]
     encoder_seq_proj = encoder_seq_proj * text_mask[..., None]
-    mel_out, attn, n_valid = decode_pallas_batch(
+    decode = (decode_pallas_batch if x_ids.shape[0] <= 8
+              else decode_pallas_stacked)
+    mel_out, attn, n_valid = decode(
         params, encoder_seq, encoder_seq_proj, text_mask, tts, r, steps,
         n_mels, interpret=interpret)
     postnet_out, _ = cbhg_apply(params["postnet"], mel_out, False)

@@ -61,6 +61,13 @@ def _dot(a, w):
         preferred_element_type=jnp.float32)
 
 
+def _dot_tt(a, b):
+    """Contract the LANE dim of both operands: (M, S) x (N, S) -> (M, N)."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
 def _gru(gi, gh, h):
     H = h.shape[-1]
     r = _sig(gi[:, :H] + gh[:, :H])
@@ -678,3 +685,253 @@ def decode_pallas(params, encoder_seq, encoder_seq_proj, text_mask,
     attn = jnp.swapaxes(att_out[:T_text, :n_groups], 0, 1)[None]
     n_valid = jnp.sum(stop_out[0, :n_groups] < 0.5)[None]
     return mel, attn, n_valid
+
+
+# --------------------------------------------------------------------------
+# Lane-stacked batched decode kernel (any B in ONE pass per step)
+# --------------------------------------------------------------------------
+
+def _make_stacked_kernel(r: int, n_mels: int, B: int, D: int, L: int,
+                         E: int, S: int, F: int, F_pad: int,
+                         stop_threshold: float):
+    """Free-running batched decode in the TRAINING kernels' lane-stacked
+    attention layout (ops/pallas_taco_train.py): utterance b's text
+    positions occupy lanes [b*T_pad, (b+1)*T_pad) of (8, S) planes, so
+    EVERY utterance advances in the same plane ops each step — unlike
+    `_make_batch_kernel`, whose 8-row utterance groups tile the grid and
+    decode sequentially (per-group cost ~flat, so B=16/32 batches lost
+    the kernel's edge over the scan; BENCH r5 tts_batch16_vs_scan 0.95).
+
+    RNN state rows are (B, .) sublane-major; the prenet runs in-kernel on
+    the carried prev_frame (eval: no dropout); per-utterance stop masks
+    freeze state rows and attention lanes, and once every utterance has
+    stopped the frozen output group replays (same semantics as
+    `_generate_scan` / the other decode kernels)."""
+    lf0, lf1 = (r - 1) * n_mels, r * n_mels
+
+    def kernel(encS_ref, encpT_ref, mask_ref, eb_ref, sm0_ref,
+               w1p_ref, b1_ref, w2p_ref, b2_ref,
+               awi_ref, abi_ref, awh_ref, abh_ref,
+               wq_ref, qb_ref, W01_ref, v8_ref,
+               wr_ref, br_ref,
+               l1wi_ref, l1wh_ref, l1b_ref,
+               l2wi_ref, l2wh_ref, l2b_ref, wm_ref,
+               mel_ref, att_ref, stop_ref,
+               ah_st, ctx_st, h1_st, c1_st, h2_st, c2_st,
+               ca_st, stack_st, prev_st, sm_st,
+               hold_mel_st, hold_att_st, flags_ref):
+        prog = pl.program_id(0)
+        C = mel_ref.shape[0]
+
+        @pl.when(prog == 0)
+        def _():
+            for ref in (ah_st, ctx_st, h1_st, c1_st, h2_st, c2_st, ca_st,
+                        prev_st, hold_mel_st, hold_att_st):
+                ref[:] = jnp.zeros_like(ref)
+            stack_st[:] = jnp.zeros_like(stack_st)
+            sm_st[:] = sm0_ref[:]     # padding rows start stopped
+            flags_ref[0] = 0
+            flags_ref[1] = 0
+
+        def body(i, _):
+            g = prog * C + i
+            all_stopped = flags_ref[0]
+            sm = sm_st[:, 0:1]                    # (B,1) 1.0 once stopped
+            live = 1.0 - sm
+
+            @pl.when(jnp.logical_or(all_stopped == 0, flags_ref[1] == 0))
+            def _():
+                # ---- prenet on the carried prev frame (eval) ----
+                p1 = jnp.maximum(_dot(prev_st[:], w1p_ref[:]) + b1_ref[:],
+                                 0.0)
+                p2 = jnp.maximum(_dot(p1, w2p_ref[:]) + b2_ref[:], 0.0)
+                inp = jnp.concatenate([ctx_st[:], p2], axis=1)
+                gi = _dot(inp, awi_ref[:]) + abi_ref[:]
+                gh = _dot(ah_st[:], awh_ref[:]) + abh_ref[:]
+                H = ah_st.shape[-1]
+                rg = _sig(gi[:, :H] + gh[:, :H])
+                z = _sig(gi[:, H:2 * H] + gh[:, H:2 * H])
+                n = jnp.tanh(gi[:, 2 * H:] + rg * gh[:, 2 * H:])
+                ah = (1.0 - z) * n + z * ah_st[:]
+
+                # ---- lane-stacked LSA attention, all utterances ----
+                q = _dot(ah, wq_ref[:]) + qb_ref[:]
+                qpl = _dot(jnp.swapaxes(q, 0, 1), eb_ref[:])
+                ca = ca_st[:]
+                for k in range(CONV_K):
+                    sh = pltpu.roll(ca, (CONV_HALF - k) % S, axis=1)
+                    stack_st[k, :] = sh[0, :]
+                    stack_st[CONV_K + k, :] = sh[1, :]
+                locLT = _dot(W01_ref[:], stack_st[:])
+                argT = jnp.tanh(locLT + encpT_ref[:] + qpl)
+                u8 = _dot(v8_ref[:], argT)
+                sigm = _sig(u8) * mask_ref[:]
+                sums = _dot_tt(sigm, eb_ref[:])
+                div = _dot(sums, eb_ref[:])
+                div = jnp.where(div > 0.0, div, 1.0)
+                scores = (sigm / div)[0:1]                  # (1, S)
+                SC = eb_ref[:] * scores
+                ctx = _dot(SC, encS_ref[:])
+
+                # ---- rnn_input + LSTMs (eval passthrough) ----
+                cat = jnp.concatenate([ctx, ah], axis=1)
+                x0 = _dot(cat, wr_ref[:]) + br_ref[:]
+                g1 = (_dot(x0, l1wi_ref[:]) + _dot(h1_st[:], l1wh_ref[:])
+                      + l1b_ref[:])
+                h1, c1 = _lstm(g1, h1_st[:], c1_st[:])
+                x1 = x0 + h1
+                g2 = (_dot(x1, l2wi_ref[:]) + _dot(h2_st[:], l2wh_ref[:])
+                      + l2b_ref[:])
+                h2, c2 = _lstm(g2, h2_st[:], c2_st[:])
+                x2 = x1 + h2
+                mels = _dot(x2, wm_ref[:])                  # (B, F_pad)
+
+                silent = jnp.all(mels[:, :F] < stop_threshold, axis=1,
+                                 keepdims=True).astype(jnp.float32)
+                hit = jnp.where(g * r > 10, silent, 0.0)
+
+                def sel(new, old):
+                    return live * new + sm * old
+
+                @pl.when(all_stopped == 0)
+                def _():
+                    ah_st[:] = sel(ah, ah_st[:])
+                    h1_st[:] = sel(h1, h1_st[:])
+                    c1_st[:] = sel(c1, c1_st[:])
+                    h2_st[:] = sel(h2, h2_st[:])
+                    c2_st[:] = sel(c2, c2_st[:])
+                    ctx_st[:] = sel(ctx, ctx_st[:])
+                    prev_st[:] = sel(jnp.concatenate(
+                        [mels[:, lf0:lf1],
+                         jnp.zeros((B, 128 - n_mels), jnp.float32)],
+                        axis=1), prev_st[:])
+                    # freeze stopped utterances' attention lanes: live_row
+                    # broadcasts the (B,1) live mask onto each utterance's
+                    # lane block via the 0/1 indicator
+                    live_row = jax.lax.dot_general(
+                        live, eb_ref[:],
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (1, S)
+                    ca_st[0:1, :] = ca_st[0:1, :] + scores * live_row
+                    ca_st[1:2, :] = (ca_st[1:2, :] * (1.0 - live_row)
+                                     + scores * live_row)
+                    sm_new = jnp.minimum(sm + hit, 1.0)
+                    sm_st[:] = jnp.broadcast_to(sm_new, (B, 128))
+                    flags_ref[0] = jax.lax.select(
+                        jnp.sum(sm_new) > B - 0.5, 1, 0)
+
+                @pl.when(all_stopped == 1)
+                def _():
+                    # first all-stopped group: hold the frozen-state output
+                    # the scan would recompute forever, then replay it
+                    flags_ref[1] = 1
+
+                hold_mel_st[:] = mels
+                hold_att_st[0:1, :] = scores
+
+            mel_ref[i] = hold_mel_st[:]
+            att_ref[i] = hold_att_st[0:1, :]
+            stop_ref[pl.ds(i, 1), :] = jnp.swapaxes(sm, 0, 1)
+            return 0
+
+        jax.lax.fori_loop(0, C, body, 0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("tts", "r", "steps", "n_mels",
+                                   "interpret"))
+def decode_pallas_stacked(params, encoder_seq, encoder_seq_proj, text_mask,
+                          tts: TacotronConfig, r: int, steps: int,
+                          n_mels: int, interpret: bool = False):
+    """Run the lane-stacked batched free-running decode kernel: every
+    utterance advances in the SAME plane ops each step, so per-group cost
+    grows only with lane width (S = B*T_pad) instead of multiplying by
+    utterance groups — the B > 8 serving path that beats the scan where
+    the grid-tiled kernel merely matched it.
+
+    Same contract as `decode_pallas_batch`: encoder_seq (B, T_text, E)
+    and encoder_seq_proj pre-zeroed at pad positions, text_mask (B,
+    T_text); returns (mel (B, n_mels, steps), attn (B, n_groups, T_text),
+    n_valid_groups (B,)) matching `_generate_scan`."""
+    from .pallas_taco_train import _pack_operands
+
+    dec = params["decoder"]
+    B, T_text, E = encoder_seq.shape
+    D = tts.decoder_dims
+    L = tts.lstm_dims
+    geom, planes, weights = _pack_operands(dec, encoder_seq,
+                                           encoder_seq_proj, tts.max_r, r,
+                                           n_mels, jnp.float32)
+    _, B_pad, T_pad, S, F = geom
+    encS, encpT, _, eb = planes
+    F_pad = weights[-1].shape[1]
+
+    # per-utterance serving mask (pad-to-max batches, lsa_scores text_mask)
+    tm = jnp.pad(text_mask.astype(jnp.float32),
+                 ((0, 0), (0, T_pad - T_text)))
+    mrow = jnp.pad(tm.reshape(B * T_pad), (0, S - B * T_pad))
+    mask8 = jnp.zeros((8, S), jnp.float32).at[0].set(mrow)
+    sm0 = (jnp.arange(B_pad, dtype=jnp.float32)[:, None]
+           >= float(B)) * jnp.ones((1, 128), jnp.float32)
+
+    P1 = dec["prenet"]["fc1"]["w"].shape[1]
+    w1p = jnp.zeros((128, P1), jnp.float32).at[:n_mels].set(
+        dec["prenet"]["fc1"]["w"])
+    b1 = dec["prenet"]["fc1"]["b"][None]
+    w2p = dec["prenet"]["fc2"]["w"]
+    b2 = dec["prenet"]["fc2"]["b"][None]
+
+    n_groups = steps // r
+    n_g_pad = _round_up(n_groups, G_CHUNK)
+    consts = [encS, encpT, mask8, eb, sm0, w1p, b1, w2p, b2, *weights]
+
+    def cspec(shape):
+        return pl.BlockSpec(shape, lambda t: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    mel, att, stop = pl.pallas_call(
+        _make_stacked_kernel(r, n_mels, B_pad, D, L, E, S, F, F_pad,
+                             tts.stop_threshold),
+        grid=(n_g_pad // G_CHUNK,),
+        in_specs=[cspec(np.shape(c)) for c in consts],
+        out_specs=(
+            pl.BlockSpec((G_CHUNK, B_pad, F_pad), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G_CHUNK, 1, S), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G_CHUNK, B_pad), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_g_pad, B_pad, F_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_g_pad, 1, S), jnp.float32),
+            jax.ShapeDtypeStruct((n_g_pad, B_pad), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B_pad, D), jnp.float32),
+            pltpu.VMEM((B_pad, E), jnp.float32),
+            pltpu.VMEM((B_pad, L), jnp.float32),
+            pltpu.VMEM((B_pad, L), jnp.float32),
+            pltpu.VMEM((B_pad, L), jnp.float32),
+            pltpu.VMEM((B_pad, L), jnp.float32),
+            pltpu.VMEM((8, S), jnp.float32),        # cum | att rows
+            pltpu.VMEM((64, S), jnp.float32),       # shift stack
+            pltpu.VMEM((B_pad, 128), jnp.float32),  # prev frame
+            pltpu.VMEM((B_pad, 128), jnp.float32),  # stop mask rows
+            pltpu.VMEM((B_pad, F_pad), jnp.float32),  # hold: mel group
+            pltpu.VMEM((8, S), jnp.float32),        # hold: attention row
+            pltpu.SMEM((2,), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(*consts)
+
+    melv = mel[:n_groups, :B, :F].reshape(n_groups, B, r, n_mels)
+    mel_out = jnp.transpose(melv, (1, 3, 0, 2)).reshape(B, n_mels,
+                                                        n_groups * r)
+    attn = att[:n_groups, 0, :B * T_pad].reshape(n_groups, B, T_pad)
+    attn = jnp.swapaxes(attn[:, :, :T_text], 0, 1)     # (B, G, T_text)
+    n_valid = jnp.sum(stop[:n_groups, :B] < 0.5, axis=0)
+    return mel_out, attn, n_valid

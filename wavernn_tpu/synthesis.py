@@ -201,8 +201,9 @@ def tts_to_wav_batch(tts_params, voc_params, texts, cfg: Config, r: int,
         _, linear, _, n_valid = _generate_kernel(
             tts_params, x, cfg.tts, r, steps, cfg.dsp.num_mels, k_mel)
     elif pallas:
-        # any batch size: the kernel tiles 8-row utterance groups across
-        # its grid (ops/pallas_taco.decode_pallas_batch)
+        # any batch size: B <= 8 on the sublane-row-packed kernel, larger
+        # batches on the lane-stacked kernel where every utterance
+        # advances per step (ops/pallas_taco.decode_pallas_{batch,stacked})
         _, linear, _, n_valid = _generate_kernel_batch(
             tts_params, x, lens, cfg.tts, r, steps, cfg.dsp.num_mels, k_mel)
     else:
