@@ -1014,8 +1014,9 @@ def tts_batch_bench(n_utt: int = 8, steps: int = 1000) -> dict:
             return time.perf_counter() - t0, outs
 
         run_n(0)  # compile
-        ts_k = [run_n(i + 1)[0] for i in range(3)]
-        t_kern, outs = float(np.median(ts_k)), run_n(9)[1]
+        reps = [run_n(i + 1) for i in range(3)]
+        t_kern = float(np.median([t for t, _ in reps]))
+        outs = reps[-1][1]
         audio_n = sum(w.shape[-1] for w, _ in outs) / cfg.dsp.sample_rate
         orig = taco_mod._generate_kernel_batch
         taco_mod._generate_kernel_batch = _scan_decode

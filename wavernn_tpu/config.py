@@ -180,9 +180,11 @@ class TacotronTrainConfig:
     # "bfloat16" = mixed-precision core compute (f32 master weights /
     # optimizer / BatchNorm stats / attention normalization)
     precision: str = "float32"
-    # "auto" = run the CBHG BiGRUs (encoder + postnet) on the Pallas
-    # training-recurrence kernels (ops/pallas_gru.py) on a single-chip
-    # TPU; lax.scan elsewhere. The decoder group scan always stays XLA.
+    # "auto" = run EVERY training recurrence on the Pallas kernels on a
+    # single-chip TPU — the CBHG BiGRUs (ops/pallas_gru.py) AND the
+    # decoder's attention+LSTM group recurrence in all modes
+    # (ops/pallas_taco_train.py) — lax.scan elsewhere (CPU, or under a
+    # mesh where GSPMD cannot partition a pallas_call).
     recurrence: str = "auto"
     # fork extras (scripts/hparams_af_*.py)
     init_weights_path: Optional[str] = None

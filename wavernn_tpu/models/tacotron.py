@@ -379,9 +379,10 @@ def forward(params, x_ids, m, tts: TacotronConfig, r: int, key,
 
     k_enc, k_dec, k_pre = jax.random.split(key, 3)
     # recurrence="pallas": the CBHG BiGRUs (encoder + postnet) run on
-    # the persistent-weights training kernels (ops/pallas_gru.py via
-    # ops.layers.gru engine) — the decoder group scan stays XLA (its
-    # step is attention+LSTMs, not a plain GRU recurrence)
+    # the persistent-weights GRU training kernels (ops/pallas_gru.py via
+    # ops.layers.gru engine), and the decoder group recurrence routes to
+    # the TF/AF decoder training kernels in the mode branches below
+    # (ops/pallas_taco_train.py)
     eng = recurrence if training else "scan"
     encoder_seq, new_enc = encoder_apply(params["encoder"], x_ids, k_enc,
                                          training, tts.dropout,
@@ -701,10 +702,11 @@ def generate_batch(params, x_ids_list, tts: TacotronConfig, r: int,
     """Serving path: free-running decode for a BATCH of sentences in one
     compiled program (pad-to-max text lengths; per-utterance stop masks).
 
-    impl: "pallas" (batched persistent-weights decode kernel — utterances
-    pack 8 per sublane-row group, groups tile the kernel grid, so any
-    serving batch size stays on the kernel), "scan" (XLA lax.scan), or
-    "auto" = pallas on TPU backends, scan elsewhere.
+    impl: "pallas" (batched persistent-weights decode kernels — B <= 8
+    packs utterances on sublane rows, larger batches ride the
+    lane-stacked kernel where every utterance advances in the same plane
+    ops per step, so any serving batch size stays on a kernel), "scan"
+    (XLA lax.scan), or "auto" = pallas on TPU backends, scan elsewhere.
 
     Returns a list of (mel, linear, attn) numpy triples, each trimmed to
     its own stop step. Pad-to-max text lengths are masked out of the

@@ -202,7 +202,8 @@ def forward(params, x, mels, voc: WaveRNNConfig, training: bool = False,
         # block scale with B*chunk — shrink chunk at wide batch so the
         # blocks stay inside the VMEM budget (B=128 at chunk 64 OOMs)
         Bsz = h.shape[1]
-        ck = 64 if Bsz <= 32 else max(8, 2048 // Bsz)
+        from ..ops.kernel_common import gru_seq_chunk
+        ck = gru_seq_chunk(Bsz)
         res = h
         gi1 = h @ core["rnn1"]["wi"] + core["rnn1"]["bi"]
         h = gru_seq_tm(gi1, core["rnn1"]["wh"], core["rnn1"]["bh"],

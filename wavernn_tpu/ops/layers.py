@@ -195,11 +195,12 @@ def gru(p, xs, h0=None, unroll: int = 8, engine: str = "scan"):
     if h0 is None:
         h0 = jnp.zeros((B, H), xs.dtype)
     if engine != "scan":
+        from .kernel_common import gru_seq_chunk
         from .pallas_gru import gru_seq_tm
         xs = grad_barrier(xs)  # keep conv-stack backwards off the
         # transposed cotangent (kOutput refusion pathology — grad_barrier)
         gi_tm = jnp.swapaxes(xs @ p["wi"] + p["bi"], 0, 1)
-        ck = 64 if B <= 32 else max(8, 2048 // B)
+        ck = gru_seq_chunk(B)
         ys_tm = gru_seq_tm(gi_tm, p["wh"], p["bh"], h0, ck,
                            engine == "pallas_interpret")
         ys = jnp.swapaxes(ys_tm, 0, 1)

@@ -47,26 +47,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _dot(a, w):
-    return jax.lax.dot_general(
-        a, w, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-
-def _sig(x):
-    # sigmoid(x) == 0.5*tanh(x/2)+0.5: one transcendental kind for the VPU
-    # (same trick as the sample kernel, ops/pallas_gen.py:_gates)
-    return 0.5 * jnp.tanh(0.5 * x) + 0.5
-
-
-def _pick_chunk(T: int, chunk: int) -> int:
-    """Largest divisor of T <= chunk if one exists above chunk//2 (avoids
-    a ragged tail block), else chunk with zero padding."""
-    for c in range(chunk, chunk // 2, -1):
-        if T % c == 0:
-            return c
-    return chunk
+from .kernel_common import dot as _dot, pick_chunk as _pick_chunk, sig as _sig
 
 
 # --------------------------------------------------------------------------

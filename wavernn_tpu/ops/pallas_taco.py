@@ -50,22 +50,7 @@ CONV_K = 31       # LSA location conv kernel size (tacotron.py:176)
 CONV_HALF = 15
 
 
-def _sig(x):
-    # sigmoid(x) == 0.5*tanh(x/2)+0.5: one transcendental kind on the VPU
-    return 0.5 * jnp.tanh(0.5 * x) + 0.5
-
-
-def _dot(a, w):
-    return jax.lax.dot_general(
-        a, w, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-
-def _dot_tt(a, b):
-    """Contract the LANE dim of both operands: (M, S) x (N, S) -> (M, N)."""
-    return jax.lax.dot_general(
-        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+from .kernel_common import dot as _dot, dot_tt as _dot_tt, sig as _sig
 
 
 def _gru(gi, gh, h):
@@ -212,8 +197,7 @@ def _make_kernel(r: int, n_mels: int, T_pad: int, F: int,
     return kernel
 
 
-def _round_up(x, m):
-    return -(-x // m) * m
+from .kernel_common import round_up as _round_up  # noqa: E402
 
 
 # --------------------------------------------------------------------------

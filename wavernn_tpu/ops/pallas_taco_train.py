@@ -44,12 +44,15 @@ deviation from the bf16 XLA scan: gates/elementwise run f32 here where
 the scan runs them bf16 — f32 kernel-vs-scan parity is exact to ~1e-5 and
 bf16 agrees at loss level (tests/test_pallas_taco_train.py).
 
-Teacher-forcing only: the TF prenet input is ground truth, so the prenet
-(and its dropout) hoists outside, and zoneout is the only in-loop noise —
-per-step Bernoulli masks are drawn outside with the scan's exact key
-stream (`zoneout_masks`) and streamed in.  The attention-forcing modes
-keep the XLA scan (their context comes from attn_ref, which removes the
-attention recurrence this kernel exists to accelerate).
+Two arms share the kernel factories: TEACHER FORCING (prenet input is
+ground truth, so the prenet and its dropout hoist outside; zoneout is
+the only in-loop noise, masks drawn outside with the scan's exact key
+stream via `zoneout_masks`) and ATTENTION FORCING (`_core_af`: context
+weights come from the streamed attn_ref row, the prenet runs in-kernel
+on the carried prev_frame with streamed pre-scaled dropout masks via
+`af_masks`, and the backward adds the prenet chain, the attn_ref
+cotangent stream, and a Dprev carry).  Eval-mode TF (the AF-online
+teacher, GTA/attn-ref export) rides the TF arm with zero zoneout masks.
 """
 from __future__ import annotations
 
@@ -61,46 +64,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .kernel_common import (dot as _dot, dot_ss as _dot_ss,
+                            dot_tt as _dot_tt, pick_chunk as _pick_chunk,
+                            round_up as _round_up, sig as _sig)
+
 CONV_K = 31
 CONV_HALF = 15
 F32 = jnp.float32
-
-
-def _sig(x):
-    return 0.5 * jnp.tanh(0.5 * x) + 0.5
-
-
-def _dot(a, b):
-    """(M, K) @ (K, N), f32 accumulation."""
-    return jax.lax.dot_general(
-        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=F32)
-
-
-def _dot_tt(a, b):
-    """Contract the LANE dim of both: (M, S) x (N, S) -> (M, N)."""
-    return jax.lax.dot_general(
-        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=F32)
-
-
-def _dot_ss(a, b):
-    """Contract the SUBLANE dim of both: (B, M) x (B, N) -> (M, N) —
-    the weight-gradient form dW = x^T dy without an explicit transpose."""
-    return jax.lax.dot_general(
-        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=F32)
-
-
-def _round_up(x, m):
-    return -(-x // m) * m
-
-
-def _pick_chunk(G: int, chunk: int) -> int:
-    for c in range(chunk, chunk // 2, -1):
-        if G % c == 0:
-            return c
-    return chunk
 
 
 # ==========================================================================

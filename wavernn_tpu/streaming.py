@@ -334,6 +334,14 @@ class MultiStreamVocoder:
             if use_pallas:
                 raise ValueError("use_pallas is single-chip; a meshed "
                                  "MultiStreamVocoder runs the scan block")
+            if n_streams % mesh.shape["data"] != 0:
+                # device_put of the (n_streams, R) state requires the
+                # sharded axis to divide the data axis — fail with intent
+                # instead of a sharding error deep in construction
+                raise ValueError(
+                    f"n_streams={n_streams} must be a multiple of the "
+                    f"mesh data axis ({mesh.shape['data']}); round up and "
+                    f"leave the extra lanes unused (they ride state-frozen)")
             use_pallas = False
             self._shard = NamedSharding(mesh, P("data"))
         self._pallas = use_pallas_default(use_pallas) and snapshot_ok

@@ -179,7 +179,11 @@ def tts_to_wav_batch(tts_params, voc_params, texts, cfg: Config, r: int,
         # pure jnp so GSPMD partitions it (the Pallas batch kernel is a
         # single-chip program — shard_map covers the vocoder stage below).
         # Pad the batch to a mesh multiple (pad rows decode garbage that
-        # is sliced away; a 1-char pad text keeps their scans short-lived)
+        # is sliced away). NOTE: the chunked early exit needs EVERY row —
+        # including pad rows — to hit the stop threshold, and a garbage
+        # 1-token decode is not guaranteed to go silent, so a padded mesh
+        # batch may run the full `steps` bound; keep len(texts) a
+        # multiple of the mesh for latency-sensitive serving
         from jax.sharding import NamedSharding, PartitionSpec as P
         n_dev = mesh.shape["data"]
         pad_b = (-len(seqs)) % n_dev
