@@ -72,3 +72,34 @@ def test_session_for_step():
     assert tt.session_for_step(sched, 10) == (5, 1e-4, 100, 32)
     assert tt.session_for_step(sched, 150) == (2, 1e-4, 180, 16)
     assert tt.session_for_step(sched, 999) == (2, 1e-4, 180, 16)
+
+
+def test_af_train_step_on_mesh():
+    """AF-offline step data-parallel over the 8-device CPU mesh (the scan
+    path — resolve_recurrence keeps pallas off meshes): finite loss,
+    params stay replicated. TF has this coverage in test_train.py; this
+    pins the AF step's sharding behavior too."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from wavernn_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    mesh = make_mesh()
+    B, G, r = 16, 3, 2
+    state = tt.create_train_state(jax.random.PRNGKey(0), TTS, 80, 1e-3)
+    state = tt.TTSTrainState(replicate(mesh, state.params),
+                             replicate(mesh, state.opt_state),
+                             jax.device_put(state.step,
+                                            NamedSharding(mesh, P())))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randint(1, 148, (B, 24)))
+    m = jnp.asarray(rng.randn(B, 80, G * r).astype(np.float32))
+    ar = rng.rand(B, G, 24).astype(np.float32)
+    ar = jnp.asarray(ar / ar.sum(-1, keepdims=True))
+    x, m, ar = shard_batch(mesh, (x, m, ar))
+    state, metrics = tt.train_step_af(state, x, m, ar, TTS, r, 1e-3,
+                                      jax.random.PRNGKey(1), offline=True)
+    assert np.isfinite(float(metrics["loss"]))
+    leaf = state.params["decoder"]["mel_proj"]["w"]
+    assert leaf.sharding.is_fully_replicated
